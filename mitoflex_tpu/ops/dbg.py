@@ -1,0 +1,271 @@
+"""De Bruijn graph construction and unitig extraction as XLA passes.
+
+TPU-native replacement for megahit_core's ``seq2sdbg`` + ``assemble`` stages
+(reference assemble/assemble_wrapper.py:203-315): instead of a succinct
+BWT-based sDBG built by C++/CUDA code, the graph is a pair of sorted edge
+arrays over dense int32 node ids:
+
+- edges are solid (k+1)-mers (multi-word packed keys from ops/kmer.py) with
+  multiplicities, present in BOTH orientations (each read contributed its
+  forward and reverse-complement k-mers), so the graph is explicitly
+  bidirected and traversal needs no canonical-form branching;
+- nodes are the unique k-mer prefixes/suffixes of edges, given dense ids by
+  a multi-word sort-unique; edge endpoint resolution is a vectorized
+  multi-word binary search (a sorted-array join — the TPU answer to the
+  sDBG's rank/select);
+- unitigs (maximal unbranched paths) are extracted by parallel pointer
+  doubling (list ranking) over predecessor links — O(log V) gather rounds —
+  including cycle detection, which directly identifies circular contigs
+  (the mitogenome case);
+- tip clipping / low-depth pruning (megahit --prune-level analog) runs as a
+  host-driven fixpoint over this pass (stages/assemble.py), each round a
+  single device call.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import kmer as kmer_ops
+
+BASES_PER_WORD = kmer_ops.BASES_PER_WORD
+
+
+def edge_prefix_suffix(edge_words: List[jax.Array], k: int):
+    """Split (k+1)-mer keys into k-mer prefix and suffix keys.
+
+    Keys are left-aligned (ops/kmer.py), so the prefix is the same bit
+    pattern with base index k zeroed, and the suffix is a 2-bit left shift
+    across words (old base k lands at index k-1; higher positions were
+    already zero).
+    """
+    W = len(edge_words)
+    kw, kt = divmod(k, BASES_PER_WORD)
+    shift = 2 * (BASES_PER_WORD - 1 - kt)
+    mask = jnp.uint32(0xFFFFFFFF) ^ (jnp.uint32(0x3) << shift)
+    prefix = [w if i != kw else (w & mask) for i, w in enumerate(edge_words)]
+    suffix = []
+    for i in range(W):
+        hi = edge_words[i] << 2
+        lo = (edge_words[i + 1] >> 30) if i + 1 < W else jnp.uint32(0)
+        suffix.append(hi | lo)
+    return prefix, suffix
+
+
+class GraphPass(NamedTuple):
+    """Result of one graph+unitig device pass (all fixed capacity).
+
+    Node arrays have capacity Vcap = 2 * Ecap; valid rows < n_nodes.
+    """
+
+    node_words: List[jax.Array]   # [Vcap] x W — sorted unique k-mer per node
+    n_nodes: jax.Array            # scalar int32
+    out_deg: jax.Array            # [Vcap] int32
+    in_deg: jax.Array             # [Vcap] int32
+    root: jax.Array               # [Vcap] int32 — unitig id (start-node index)
+    offset: jax.Array             # [Vcap] int32 — position within unitig
+    link_count: jax.Array         # [Vcap] uint32 — multiplicity of edge prev->v (0 at starts)
+    is_cycle: jax.Array           # [Vcap] bool — node is on a cyclic (circular) unitig
+    prefix_id: jax.Array          # [Ecap] int32 — edge endpoint node ids
+    suffix_id: jax.Array          # [Ecap] int32
+    edge_valid: jax.Array         # [Ecap] bool
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def graph_unitig_pass(
+    edge_words: List[jax.Array], edge_counts: jax.Array, n_edges: jax.Array, k: int
+) -> GraphPass:
+    """Build the node table, degrees, and unitig labeling for an edge set.
+
+    edge_words: W arrays [Ecap] uint32, first n_edges rows valid (rest
+    arbitrary). edge_counts: [Ecap] uint32 multiplicities.
+    """
+    Ecap = edge_counts.shape[0]
+    Vcap = 2 * Ecap
+    eidx = jax.lax.broadcasted_iota(jnp.int32, (Ecap, 1), 0).squeeze(-1)
+    evalid = eidx < n_edges
+
+    prefix, suffix = edge_prefix_suffix(edge_words, k)
+    cat = [jnp.concatenate([p, s]) for p, s in zip(prefix, suffix)]
+    cat_valid = jnp.concatenate([evalid, evalid])
+    node_words, _, n_nodes = kmer_ops.sort_count_unique(cat, cat_valid)
+
+    prefix_id = kmer_ops.multiword_searchsorted(node_words, prefix, n_nodes)
+    suffix_id = kmer_ops.multiword_searchsorted(node_words, suffix, n_nodes)
+    prefix_id = jnp.where(evalid, prefix_id, Vcap - 1)
+    suffix_id = jnp.where(evalid, suffix_id, Vcap - 1)
+
+    ones = jnp.where(evalid, 1, 0)
+    out_deg = jax.ops.segment_sum(ones, prefix_id, num_segments=Vcap)
+    in_deg = jax.ops.segment_sum(ones, suffix_id, num_segments=Vcap)
+    vidx = jax.lax.broadcasted_iota(jnp.int32, (Vcap, 1), 0).squeeze(-1)
+    nvalid = vidx < n_nodes
+    # padding rows got the dumped invalid edges — zero them
+    out_deg = jnp.where(nvalid, out_deg, 0)
+    in_deg = jnp.where(nvalid, in_deg, 0)
+
+    # --- unique predecessor per node (when in_deg == 1) ------------------
+    # sort edges by suffix (int32 key); the first edge of each suffix run is
+    # the unique in-edge when in_deg == 1.
+    s_suf, s_pre, s_cnt = jax.lax.sort(
+        [suffix_id, prefix_id, edge_counts], num_keys=1
+    )
+    first_in = jnp.searchsorted(s_suf, vidx)  # [Vcap]
+    safe = jnp.clip(first_in, 0, Ecap - 1)
+    pred = jnp.where(in_deg == 1, s_pre[safe], vidx)
+    pred_cnt = jnp.where(in_deg == 1, s_cnt[safe], 0)
+
+    # linkable(p -> v): in_deg[v]==1, out_deg[p]==1, p != v
+    p_safe = jnp.clip(pred, 0, Vcap - 1)
+    linkable = jnp.logical_and(
+        jnp.logical_and(in_deg == 1, out_deg[p_safe] == 1), pred != vidx
+    )
+    linkable = jnp.logical_and(linkable, nvalid)
+    prev = jnp.where(linkable, pred, vidx)
+    link_count = jnp.where(linkable, pred_cnt, 0).astype(jnp.uint32)
+
+    iters = max(1, math.ceil(math.log2(Vcap + 1)))
+
+    def rank(prev0):
+        jump = prev0
+        dist = jnp.where(jump != vidx, 1, 0)
+        minid = vidx
+
+        def body(_, state):
+            jump, dist, minid = state
+            dist = dist + dist[jump]
+            minid = jnp.minimum(minid, minid[jump])
+            jump = jump[jump]
+            return jump, dist, minid
+
+        return jax.lax.fori_loop(0, iters, body, (jump, dist, minid))
+
+    jump, dist, minid = rank(prev)
+    on_cycle = jump[jump] != jump
+    # break cycles at their minimum node, then re-rank
+    is_break = jnp.logical_and(on_cycle, vidx == minid)
+    prev2 = jnp.where(is_break, vidx, prev)
+    link_count = jnp.where(is_break, 0, link_count)
+    jump, dist, _ = rank(prev2)
+
+    return GraphPass(
+        node_words=node_words,
+        n_nodes=n_nodes,
+        out_deg=out_deg,
+        in_deg=in_deg,
+        root=jump,
+        offset=dist,
+        link_count=link_count,
+        is_cycle=on_cycle,
+        prefix_id=prefix_id,
+        suffix_id=suffix_id,
+        edge_valid=evalid,
+    )
+
+
+# ------------------------------------------------------------ host decoding
+def decode_node_kmers(node_words: np.ndarray, k: int) -> np.ndarray:
+    """[V, W] uint32 → [V, k] int8 base codes (host, vectorized)."""
+    V, W = node_words.shape
+    out = np.empty((V, k), dtype=np.int8)
+    for i in range(k):
+        w, t = divmod(i, BASES_PER_WORD)
+        out[:, i] = (node_words[:, w] >> (2 * (BASES_PER_WORD - 1 - t))) & 0x3
+    return out
+
+
+class Unitig(NamedTuple):
+    seq: str                 # base string (k + len - 1 long)
+    depth: float             # mean multiplicity of internal link edges
+    circular: bool
+    node_ids: np.ndarray     # node indices along the chain (graph order)
+
+
+def unitigs_from_pass(gp: GraphPass, k: int) -> list[Unitig]:
+    """Host side: group nodes by unitig root, order by offset, emit base
+    strings. Each unitig appears once per strand; use
+    :func:`dedup_strands` to keep one representative."""
+    n = int(gp.n_nodes)
+    if n == 0:
+        return []
+    root = np.asarray(gp.root)[:n]
+    offset = np.asarray(gp.offset)[:n]
+    link = np.asarray(gp.link_count)[:n]
+    cyc = np.asarray(gp.is_cycle)[:n]
+    words = np.stack([np.asarray(w)[:n] for w in gp.node_words], axis=1)
+    bases = decode_node_kmers(words, k)
+
+    order = np.lexsort((offset, root))
+    r_sorted = root[order]
+    starts = np.flatnonzero(np.concatenate([[True], r_sorted[1:] != r_sorted[:-1]]))
+    bounds = np.append(starts, len(order))
+
+    out: list[Unitig] = []
+    decode_lut = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        chain = order[s:e]
+        first = chain[0]
+        seq_codes = np.concatenate([bases[first], bases[chain[1:], k - 1]])
+        seq = decode_lut[seq_codes].tobytes().decode()
+        links = link[chain[1:]]
+        depth = float(links.mean()) if len(links) else 0.0
+        out.append(Unitig(seq, depth, bool(cyc[first]), chain))
+    return out
+
+
+def _revcomp_str(s: str) -> str:
+    return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+
+def dedup_strands(unitigs: list[Unitig]) -> list[Unitig]:
+    """Keep one strand per unitig (the graph carries both orientations).
+
+    Representative = the orientation whose sequence is lexicographically
+    smaller; circular twins may be rotations, so they are matched by their
+    canonical rotation instead.
+    """
+    seen: dict[str, None] = {}
+    out = []
+    for u in unitigs:
+        if u.circular:
+            # the emitted string carries a k-1 bp terminal duplication;
+            # the true cycle is the first len(node_ids) bases — canonical
+            # rotation must be computed on that core or the strands of one
+            # circle never match.
+            core = u.seq[: len(u.node_ids)]
+            key = min(_min_rotation(core), _min_rotation(_revcomp_str(core)))
+        else:
+            key = min(u.seq, _revcomp_str(u.seq))
+        if key in seen:
+            continue
+        seen[key] = None
+        out.append(u)
+    return out
+
+
+def _min_rotation(s: str) -> str:
+    """Lexicographically least rotation (Booth's algorithm, O(n))."""
+    d = s + s
+    n = len(s)
+    f = [-1] * len(d)
+    best = 0
+    for j in range(1, len(d)):
+        c = d[j]
+        i = f[j - best - 1]
+        while i != -1 and c != d[best + i + 1]:
+            if c < d[best + i + 1]:
+                best = j - i - 1
+            i = f[i]
+        if c != d[best + i + 1]:
+            if c < d[best]:
+                best = j
+            f[j - best] = -1
+        else:
+            f[j - best] = i + 1
+    return d[best : best + n]

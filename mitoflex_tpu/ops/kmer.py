@@ -1,0 +1,254 @@
+"""K-mer extraction and counting as XLA passes.
+
+TPU-native replacement for megahit_core's ``count`` stage (reference
+assemble/assemble_wrapper.py:217-224: solid (k+1)-mer extraction with a
+minimum-multiplicity gate). Design:
+
+- k-mers are packed 2 bits/base into W = ceil(2k/32) uint32 words,
+  LEFT-aligned (base 0 in the high bits of word 0), so word-wise
+  lexicographic order equals base-string lexicographic order and a
+  multi-word sort via ``lax.sort(num_keys=W)`` orders k-mers correctly.
+  Since k is always odd (and k+1 never a multiple of 16), the all-ones
+  word pattern cannot encode a real k-mer; an explicit validity word is
+  still used as the primary sort key so padding never collides.
+- extraction is a fan of shifted ORs over the [reads, len] code matrix —
+  pure VPU work, one pass over HBM;
+- counting is sort → boundary-detect → segment_sum, all XLA primitives
+  that map to the TPU's sorting networks;
+- both strands are counted (each read contributes its forward and
+  reverse-complement k-mers), which keeps the de Bruijn graph explicitly
+  bidirected and removes canonical-form branching from the hot path.
+
+Cross-chunk and cross-chip merging happens in the driver
+(stages/assemble.py) by merging sorted runs; cross-chip histogram merge
+rides all_gather/psum over ICI (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_CODE = 4
+BASES_PER_WORD = 16
+
+
+def num_words(k: int) -> int:
+    return -(-k // BASES_PER_WORD)
+
+
+def revcomp_codes(seqs: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Reverse-complement each row of a padded [B, L] code matrix, keeping
+    sequences left-aligned (pad stays on the right)."""
+    B, L = seqs.shape
+    comp = jnp.where(seqs < 4, 3 - seqs, seqs)
+    rev = comp[:, ::-1]
+    # roll each row left by (L - len) so the sequence is left-aligned again
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    src = col + (L - lengths[:, None])
+    src = jnp.clip(src, 0, L - 1)
+    out = jnp.take_along_axis(rev, src, axis=1)
+    return jnp.where(col < lengths[:, None], out, jnp.int8(N_CODE)).astype(jnp.int8)
+
+
+def extract_kmers(
+    seqs: jax.Array, lengths: jax.Array, k: int
+) -> Tuple[List[jax.Array], jax.Array]:
+    """Extract all k-mers of each row.
+
+    Returns (words, valid): ``words`` is a list of W arrays, each [B, P]
+    uint32 (P = L - k + 1); ``valid`` is [B, P] bool (in-range and N-free).
+    """
+    B, L = seqs.shape
+    P = L - k + 1
+    assert P > 0, f"max_read_len {L} shorter than k {k}"
+    W = num_words(k)
+    s32 = seqs.astype(jnp.uint32)
+    words: List[jax.Array] = []
+    for w in range(W):
+        acc = jnp.zeros((B, P), jnp.uint32)
+        nb = min(BASES_PER_WORD, k - w * BASES_PER_WORD)
+        for t in range(nb):
+            col = w * BASES_PER_WORD + t
+            acc = acc | (jnp.where(s32[:, col : col + P] < 4, s32[:, col : col + P], 0)
+                         << (2 * (BASES_PER_WORD - 1 - t)))
+        words.append(acc)
+    # validity: window fits in the read and contains no N
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
+    fits = col + k <= lengths[:, None]
+    is_n = (seqs == N_CODE).astype(jnp.int32)
+    cum = jnp.cumsum(is_n, axis=1)
+    # #N in [j, j+k) = cum[j+k-1] - cum[j-1]
+    hi = cum[:, k - 1 :]
+    lo = jnp.pad(cum[:, : P - 1], ((0, 0), (1, 0)))
+    n_in_window = hi - lo
+    valid = jnp.logical_and(fits, n_in_window == 0)
+    return words, valid
+
+
+def sort_count_unique(
+    words: List[jax.Array], valid: jax.Array, weights: jax.Array | None = None
+) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
+    """Sort flattened k-mers and produce unique keys with counts.
+
+    Inputs may be any shape; they are flattened to N entries. Returns
+    (unique_words [N] x W, counts [N] uint32, n_unique scalar): the first
+    ``n_unique`` rows are the sorted unique k-mers with their counts,
+    the rest is padding (all-ones keys, zero counts).
+
+    ``weights`` (optional, same shape as valid, uint32) weights each
+    occurrence — used when re-injecting contigs with known depth into the
+    next k iteration (megahit `iterate` analog).
+    """
+    flat = [w.reshape(-1) for w in words]
+    v = valid.reshape(-1)
+    n = v.shape[0]
+    wt = (weights.reshape(-1).astype(jnp.uint32) if weights is not None
+          else jnp.ones((n,), jnp.uint32))
+    wt = jnp.where(v, wt, 0)
+    invalid_key = jnp.where(v, jnp.uint32(0), jnp.uint32(1))
+    operands = [invalid_key] + flat + [wt]
+    sorted_ops = jax.lax.sort(operands, num_keys=1 + len(flat))
+    s_invalid, s_words, s_wt = sorted_ops[0], sorted_ops[1:-1], sorted_ops[-1]
+    s_valid = s_invalid == 0
+    # boundary detection among valid rows
+    diff = jnp.zeros((n,), jnp.bool_)
+    for w in s_words:
+        diff = jnp.logical_or(diff, jnp.concatenate([jnp.ones((1,), jnp.bool_), w[1:] != w[:-1]]))
+    is_new = jnp.logical_and(diff, s_valid)
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    seg = jnp.where(s_valid, seg, n - 1)  # dump invalid into the last segment
+    counts = jax.ops.segment_sum(s_wt, seg, num_segments=n)
+    n_unique = jnp.sum(is_new.astype(jnp.int32))
+    # compact unique rows to the front (stable sort on ~is_new)
+    order = jnp.argsort(jnp.logical_not(is_new), stable=True)
+    uniq_words = [jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < n_unique,
+        w[order], jnp.uint32(0xFFFFFFFF)) for w in s_words]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    counts = jnp.where(idx < n_unique, counts[idx], 0).astype(jnp.uint32)
+    return uniq_words, counts, n_unique
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def count_chunk(
+    seqs: jax.Array, lengths: jax.Array, k: int, weights: jax.Array | None = None
+) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
+    """Count k-mers of a read chunk on both strands.
+
+    Returns (unique_words, counts, n_unique) as in sort_count_unique, with
+    capacity 2 * B * (L - k + 1).
+    """
+    rc = revcomp_codes(seqs, lengths)
+    w_f, v_f = extract_kmers(seqs, lengths, k)
+    w_r, v_r = extract_kmers(rc, lengths, k)
+    words = [jnp.concatenate([a, b]) for a, b in zip(w_f, w_r)]
+    valid = jnp.concatenate([v_f, v_r])
+    wts = jnp.concatenate([weights, weights]) if weights is not None else None
+    return sort_count_unique(words, valid, wts)
+
+
+# ---------------------------------------------------------------- host merge
+def words_to_np_keys(words: List[np.ndarray]) -> np.ndarray:
+    """Stack W uint32 word arrays into an [N, W] big-endian-comparable
+    uint32 matrix (host side)."""
+    return np.stack([np.asarray(w) for w in words], axis=1)
+
+
+def np_keys_view(keys: np.ndarray) -> np.ndarray:
+    """View an [N, W] uint32 key matrix as void records for np.unique-style
+    merging. Byte order is fixed to big-endian so bytewise compare equals
+    word-wise lexicographic compare."""
+    be = np.ascontiguousarray(keys.astype(">u4"))
+    return be.view([("k", "V%d" % (keys.shape[1] * 4))]).reshape(-1)
+
+
+def merge_sorted_counts(
+    a_keys: np.ndarray, a_counts: np.ndarray, b_keys: np.ndarray, b_counts: np.ndarray,
+    op: str = "sum",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge two sorted (keys [N,W], counts) runs (host side; used across
+    chunks and across hosts).
+
+    op='sum' adds counts of equal keys (chunk accumulation); op='max' keeps
+    the larger (used when overlaying re-injected contig depths over read
+    counts so reads are not double-counted — see stages/assemble.py)."""
+    if len(a_keys) == 0:
+        return b_keys, b_counts
+    if len(b_keys) == 0:
+        return a_keys, a_counts
+    keys = np.concatenate([a_keys, b_keys])
+    counts = np.concatenate([a_counts, b_counts]).astype(np.uint64)
+    view = np_keys_view(keys)
+    order = np.argsort(view, kind="stable")
+    sk, sc = keys[order], counts[order]
+    sv = view[order]
+    new = np.empty(len(sv), dtype=bool)
+    new[0] = True
+    new[1:] = sv[1:] != sv[:-1]
+    seg = np.cumsum(new) - 1
+    if op == "sum":
+        out_counts = np.zeros(seg[-1] + 1, dtype=np.uint64)
+        np.add.at(out_counts, seg, sc)
+    elif op == "max":
+        out_counts = np.zeros(seg[-1] + 1, dtype=np.uint64)
+        np.maximum.at(out_counts, seg, sc)
+    else:
+        raise ValueError(op)
+    return sk[new], out_counts
+
+
+# ------------------------------------------------------- multiword searching
+def multiword_searchsorted(
+    table: List[jax.Array], queries: List[jax.Array], table_size: jax.Array
+) -> jax.Array:
+    """Lower-bound binary search of multi-word queries in a lexicographically
+    sorted multi-word table.
+
+    table: list of W arrays [V] uint32 (sorted, padded with 0xFFFFFFFF).
+    queries: list of W arrays [Q] uint32.
+    table_size: scalar int32, number of real rows (padding excluded).
+    Returns [Q] int32 insertion indices.
+    """
+    V = table[0].shape[0]
+    Q = queries[0].shape[0]
+    iters = max(1, math.ceil(math.log2(V + 1)))
+
+    def lex_less(mid):
+        """table[mid] < query, vectorized over Q."""
+        lt = jnp.zeros((Q,), jnp.bool_)
+        eq = jnp.ones((Q,), jnp.bool_)
+        for tw, qw in zip(table, queries):
+            t = tw[mid]
+            lt = jnp.logical_or(lt, jnp.logical_and(eq, t < qw))
+            eq = jnp.logical_and(eq, t == qw)
+        return lt
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        go_right = lex_less(jnp.clip(mid, 0, V - 1))
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+        return lo, hi
+
+    lo = jnp.zeros((Q,), jnp.int32)
+    hi = jnp.broadcast_to(jnp.asarray(table_size, jnp.int32), (Q,))
+    lo, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
+
+
+def multiword_equal_at(
+    table: List[jax.Array], queries: List[jax.Array], idx: jax.Array, table_size: jax.Array
+) -> jax.Array:
+    """True where table[idx] == query (and idx < table_size)."""
+    safe = jnp.clip(idx, 0, table[0].shape[0] - 1)
+    eq = idx < table_size
+    for tw, qw in zip(table, queries):
+        eq = jnp.logical_and(eq, tw[safe] == qw)
+    return eq

@@ -1,0 +1,351 @@
+"""Assemble stage: clean reads → contig FASTA via a multi-k de Bruijn loop.
+
+Capability parity with the reference's assembler orchestration
+(assemble/assemble.py:42-122 + assemble_wrapper.py:61-365 driving
+megahit_core), rebuilt on the XLA graph engine (ops/kmer.py + ops/dbg.py):
+
+- multi-k outer loop on host with the same (prev_k, k, next_k) windowing and
+  EmptyGraph early-stop semantics (assemble.py:85-107, wrapper:252-253);
+- per k: chunked device k-mer counting (both strands) with min-multiplicity
+  gate (megahit `count`), graph build + unitig extraction (megahit
+  `seq2sdbg`+`assemble`), tip clipping / low-depth pruning as a host-driven
+  fixpoint of device passes;
+- the MitoFlex twist — inter-iteration depth filtering of contigs
+  (wrapper `filter`, assemble_wrapper.py:318-345 driving fastfilter):
+  between k iterations only contigs with depth >= depth_list[i] and
+  min_length <= len <= max_length survive, concentrating the graph on the
+  high-depth mitogenome; `filter_keep` keeps at least N contigs as fallback;
+- contigs from k_i are re-injected as pseudo-reads at k_{i+1} with their
+  depth as k-mer weight (megahit `iterate` analog);
+- the k-mer list is trimmed against the max read length like the
+  reference's resize (assemble.py:79-84).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AssembleConfig
+from ..io import encoding, fasta, fastq
+from ..ops import dbg as dbg_ops
+from ..ops import kmer as kmer_ops
+from ..utils.helper import timed
+from ..utils.logger import logger
+from ..utils.seq import contig_header
+
+
+class EmptyGraph(Exception):
+    """No solid edges at this k (reference assemble_wrapper.py:43)."""
+
+
+@dataclass
+class Contig:
+    seq: str
+    depth: float
+    circular: bool
+
+    @property
+    def flag(self) -> int:
+        return 1 if self.circular else 0
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pad_pow2(n: int, floor: int = 1 << 12) -> int:
+    """Static capacity bucketing to bound recompiles."""
+    c = floor
+    while c < n:
+        c <<= 1
+    return c
+
+
+class KmerCounter:
+    """Chunked device k-mer counting with host merge of sorted runs."""
+
+    def __init__(self, k: int, chunk_rows: int = 4096):
+        self.k = k
+        self.chunk_rows = chunk_rows
+        self.keys: Optional[np.ndarray] = None  # [N, W] uint32, sorted
+        self.counts: Optional[np.ndarray] = None
+
+    def add_chunk(self, seqs: np.ndarray, lengths: np.ndarray,
+                  weights: Optional[np.ndarray] = None) -> None:
+        B, L = seqs.shape
+        if L < self.k:
+            return
+        w = None
+        if weights is not None:
+            w = jnp.broadcast_to(
+                jnp.asarray(weights, jnp.uint32)[:, None], (B, L - self.k + 1)
+            )
+        uw, uc, nu = kmer_ops.count_chunk(
+            jnp.asarray(seqs), jnp.asarray(lengths), self.k, w
+        )
+        nu = int(nu)
+        if nu == 0:
+            return
+        keys = kmer_ops.words_to_np_keys([np.asarray(x)[:nu] for x in uw])
+        counts = np.asarray(uc)[:nu].astype(np.uint64)
+        if self.keys is None:
+            self.keys, self.counts = keys, counts
+        else:
+            self.keys, self.counts = kmer_ops.merge_sorted_counts(
+                self.keys, self.counts, keys, counts
+            )
+
+    def solid(self, min_multi: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self.keys is None:
+            return np.zeros((0, kmer_ops.num_words(self.k)), np.uint32), np.zeros(0, np.uint64)
+        mask = self.counts >= min_multi
+        return self.keys[mask], self.counts[mask]
+
+
+def _iter_read_chunks(
+    reads: Iterable[Tuple[np.ndarray, np.ndarray]],
+) -> Iterable[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
+    for seqs, lengths in reads:
+        yield seqs, lengths, None
+
+
+def count_edges(
+    read_source, k: int, min_multi: int, extra_contigs: Sequence[Contig] = (),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Count solid (k+1)-mers over a read source (callable yielding
+    (seqs, lengths) numpy chunks) plus re-injected contigs.
+
+    Contig k-mers are overlaid with max(), not summed: the reads they came
+    from are still in the stream, so summing would double-count and inflate
+    depth at every k iteration. Max keeps read-based multiplicities where
+    reads cover and contig depth only where contigs bridge (gap regions)."""
+    counter = KmerCounter(k + 1)
+    for seqs, lengths in read_source():
+        counter.add_chunk(seqs, lengths)
+    keys, counts = counter.solid(min_multi) if not extra_contigs else (None, None)
+    if extra_contigs:
+        ccounter = KmerCounter(k + 1)
+        for seqs, lengths, weights in _contigs_to_chunks(extra_contigs, k + 1):
+            # within contigs, overlay too (a kmer may repeat across contigs)
+            ccounter.add_chunk(seqs, lengths, weights)
+        rkeys = counter.keys if counter.keys is not None else np.zeros(
+            (0, kmer_ops.num_words(k + 1)), np.uint32)
+        rcounts = counter.counts if counter.counts is not None else np.zeros(0, np.uint64)
+        ckeys, ccounts = ccounter.solid(1)
+        keys, counts = kmer_ops.merge_sorted_counts(rkeys, rcounts, ckeys, ccounts, op="max")
+        mask = counts >= min_multi
+        keys, counts = keys[mask], counts[mask]
+    return keys, counts
+
+
+def _contigs_to_chunks(contigs: Sequence[Contig], kp1: int, row_len: int = 4096):
+    """Slice contigs into fixed-width overlapping rows so the fixed-shape
+    extraction kernel can digest them. Overlap = k so no (k+1)-mer is lost.
+    Each contig's k-mers carry its depth as weight (megahit iterate:
+    contigs represent depth-many reads)."""
+    rows, lens, wts = [], [], []
+    step = row_len - kp1 + 1
+    for c in contigs:
+        codes = encoding.encode(c.seq)
+        w = max(1, int(round(c.depth)))
+        for s in range(0, max(len(codes) - kp1 + 1, 1), step):
+            piece = codes[s : s + row_len]
+            if len(piece) < kp1:
+                piece = codes[max(0, len(codes) - kp1):]
+            row = np.full(row_len, encoding.N, dtype=np.int8)
+            row[: len(piece)] = piece
+            rows.append(row)
+            lens.append(len(piece))
+            wts.append(w)
+    out = []
+    for i in range(0, len(rows), 1024):
+        out.append(
+            (
+                np.stack(rows[i : i + 1024]),
+                np.asarray(lens[i : i + 1024], np.int32),
+                np.asarray(wts[i : i + 1024], np.uint32),
+            )
+        )
+    return out
+
+
+def _run_graph_pass(keys: np.ndarray, counts: np.ndarray, k: int) -> dbg_ops.GraphPass:
+    E = len(keys)
+    if E == 0:
+        raise EmptyGraph(f"no solid edges at k={k}")
+    Ecap = _pad_pow2(E)
+    W = keys.shape[1]
+    kw = [np.full(Ecap, 0xFFFFFFFF, np.uint32) for _ in range(W)]
+    for w in range(W):
+        kw[w][:E] = keys[:, w]
+    kc = np.zeros(Ecap, np.uint32)
+    kc[:E] = np.minimum(counts, 0xFFFFFFFF).astype(np.uint32)
+    return dbg_ops.graph_unitig_pass(
+        [jnp.asarray(x) for x in kw], jnp.asarray(kc), jnp.int32(E), k
+    )
+
+
+def assemble_k(
+    keys: np.ndarray,
+    counts: np.ndarray,
+    k: int,
+    prune_depth: float,
+    prune_level: int,
+    min_standalone: int = 200,
+    max_clean_rounds: int = 8,
+) -> List[Contig]:
+    """One k iteration: graph → unitigs → clean fixpoint → contigs.
+
+    Cleaning reproduces megahit `assemble`'s spirit (tips + low-depth
+    unitigs; prune_level scales aggressiveness, wrapper:264-292):
+      - tip: unitig whose chain is a dead end on either side and shorter
+        than 2k bases;
+      - low depth: mean link multiplicity < prune_depth (for unitigs with
+        internal links).
+    Each round removes offending unitigs' nodes and re-runs the device
+    pass until fixpoint.
+    """
+    tip_len = 2 * k
+    drop_ratio = {0: 0.0, 1: 0.3, 2: 0.5, 3: 0.7}[prune_level]
+    for _ in range(max_clean_rounds):
+        gp = _run_graph_pass(keys, counts, k)
+        n = int(gp.n_nodes)
+        if n == 0:
+            raise EmptyGraph(f"graph emptied at k={k}")
+        unitigs = dbg_ops.unitigs_from_pass(gp, k)
+        in_deg = np.asarray(gp.in_deg)[:n]
+        out_deg = np.asarray(gp.out_deg)[:n]
+        bad_nodes = np.zeros(n, dtype=bool)
+        any_bad = False
+        med_depth = float(np.median([u.depth for u in unitigs if u.depth > 0] or [0]))
+        for u in unitigs:
+            if u.circular:
+                continue
+            start, end = u.node_ids[0], u.node_ids[-1]
+            dead_start = in_deg[start] == 0
+            dead_end = out_deg[end] == 0
+            is_tip = (dead_start or dead_end) and not (dead_start and dead_end) \
+                and len(u.seq) < tip_len
+            low = (u.depth > 0 and u.depth < prune_depth) or (
+                drop_ratio > 0 and 0 < u.depth < drop_ratio * med_depth
+                and len(u.seq) < tip_len
+            )
+            if is_tip or low:
+                bad_nodes[u.node_ids] = True
+                any_bad = True
+        if not any_bad:
+            break
+        # drop edges touching bad nodes, re-run
+        pre = np.asarray(gp.prefix_id)[: len(keys)]
+        suf = np.asarray(gp.suffix_id)[: len(keys)]
+        keep = ~(bad_nodes[np.clip(pre, 0, n - 1)] | bad_nodes[np.clip(suf, 0, n - 1)])
+        keep &= np.asarray(gp.edge_valid)[: len(keys)]
+        if keep.all():
+            break
+        keys, counts = keys[keep], counts[keep]
+        if len(keys) == 0:
+            raise EmptyGraph(f"graph emptied at k={k}")
+
+    unitigs = dbg_ops.dedup_strands(unitigs)
+    contigs = []
+    for u in unitigs:
+        if len(u.seq) < min(min_standalone, 2 * k):
+            continue
+        contigs.append(Contig(u.seq, u.depth, u.circular))
+    return contigs
+
+
+def filter_contigs(
+    contigs: List[Contig], min_depth: float, min_length: int, max_length: int,
+    filter_keep: int = 0,
+) -> List[Contig]:
+    """Inter-iteration depth/length gate (reference fastfilter semantics,
+    assemble/fastfilter_src/src/main.rs:9-134 + wrapper:318-345)."""
+    kept = [
+        c for c in contigs
+        if c.depth >= min_depth and min_length <= len(c.seq) <= max_length
+    ]
+    if filter_keep and len(kept) < filter_keep:
+        ranked = sorted(contigs, key=lambda c: -c.depth)
+        kept = ranked[:filter_keep]
+    return kept
+
+
+@timed()
+def assemble(
+    cfg: AssembleConfig,
+    fastq1: str,
+    fastq2: Optional[str],
+    out_fasta: str,
+    read_chunk: int = 4096,
+    max_read_len: int = 256,
+) -> str:
+    """Full multi-k assembly from clean FASTQ to contig FASTA."""
+
+    def read_source():
+        if fastq2 is None:
+            for b in fastq.read_batches(fastq1, read_chunk, max_read_len):
+                yield b.seqs, b.lengths
+        else:
+            for b1, b2 in fastq.read_pair_batches(fastq1, fastq2, read_chunk, max_read_len):
+                yield b1.seqs, b1.lengths
+                yield b2.seqs, b2.lengths
+
+    # resize k list against the max read length (reference assemble.py:79-84)
+    max_len = 0
+    for b in fastq.read_batches(fastq1, read_chunk, max_read_len):
+        max_len = max(max_len, int(b.lengths[: b.count].max(initial=0)))
+        break
+    klist = [k for k in cfg.kmer_list if k < max(max_len, cfg.kmer_list[0] + 1)]
+    if not klist:
+        klist = cfg.kmer_list[:1]
+    dlist = (cfg.depth_list or [0] * len(cfg.kmer_list))[: len(klist)]
+    logger.info(f"assemble: k-list {klist} (max read len {max_len})")
+
+    contigs: List[Contig] = []
+    last_good: List[Contig] = []
+    for i, k in enumerate(klist):
+        try:
+            keys, counts = count_edges(
+                read_source, k, cfg.min_multi, extra_contigs=contigs
+            )
+            logger.info(f"assemble: k={k}: {len(keys)} solid (k+1)-mers")
+            contigs = assemble_k(
+                keys, counts, k, cfg.prune_depth, cfg.prune_level,
+                min_standalone=cfg.min_length,
+            )
+        except EmptyGraph as e:
+            logger.warn(f"assemble: {e}; stopping multi-k loop at k={k}")
+            break
+        logger.info(
+            f"assemble: k={k}: {len(contigs)} contigs "
+            f"(max {max((len(c.seq) for c in contigs), default=0)} bp)"
+        )
+        last_good = contigs
+        if not cfg.no_filter and i < len(klist) - 1:
+            contigs = filter_contigs(
+                contigs, dlist[i], cfg.min_length, cfg.max_length, cfg.filter_keep
+            )
+            logger.info(f"assemble: k={k}: {len(contigs)} contigs after depth>={dlist[i]} gate")
+            if not contigs:
+                logger.warn("assemble: depth gate removed everything; stopping")
+                contigs = []
+                break
+
+    final = filter_contigs(last_good, 0, cfg.min_length, cfg.max_length)
+    final_k = klist[min(i, len(klist) - 1)] if klist else 0
+    records = [
+        fasta.FastaRecord(
+            f"k{final_k}_{j}", c.seq,
+            {"flag": c.flag, "multi": round(c.depth, 4), "len": len(c.seq)},
+        )
+        for j, c in enumerate(final)
+    ]
+    fasta.write_fasta(records, out_fasta)
+    logger.info(f"assemble: wrote {len(records)} contigs to {out_fasta}")
+    return out_fasta

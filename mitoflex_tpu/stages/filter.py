@@ -1,0 +1,162 @@
+"""Filter stage: raw FASTQ → clean FASTQ.
+
+Capability parity with the reference's filter stage (filter/filter.py:38-91
+driving filter/filter_bin): SE and PE filtering with N-count, quality
+percentage, optional region trim, optional PE dedup, and a Gbp truncation
+gate. The per-base work runs on device (ops/filter.py); the host streams
+fixed-shape batches and writes survivors back out.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional, Set, Tuple
+
+import numpy as np
+
+from ..config import FilterConfig
+from ..io import fastq
+from ..ops import filter as filter_ops
+from ..utils.helper import StageTimer, timed
+from ..utils.logger import logger
+
+
+@dataclass
+class FilterResult:
+    clean1: str
+    clean2: Optional[str]
+    reads_in: int
+    reads_kept: int
+    bases_in: int
+    bases_kept: int
+    duplicates: int
+
+    @property
+    def kept_ratio(self) -> float:
+        return self.reads_kept / self.reads_in if self.reads_in else 0.0
+
+
+def _trim_batch(batch: fastq.ReadBatch, keep_region: Tuple[int, int]) -> fastq.ReadBatch:
+    """Apply the keep-region window (reference --keep-region BEG,END):
+    only bases in [beg, end) are retained."""
+    beg, end = keep_region
+    if (beg, end) == (0, 0):
+        return batch
+    L = batch.seqs.shape[1]
+    end = end if end > 0 else L
+    seqs = np.full_like(batch.seqs, filter_ops.N_CODE)
+    quals = np.zeros_like(batch.quals)
+    width = max(end - beg, 0)
+    seqs[:, :width] = batch.seqs[:, beg:end]
+    quals[:, :width] = batch.quals[:, beg:end]
+    lengths = np.clip(batch.lengths - beg, 0, width)
+    return fastq.ReadBatch(seqs, quals, lengths, batch.count, batch.names)
+
+
+class _DedupSet:
+    """Host-side u64 dedup set over device-computed (h1, h2) hash pairs
+    (reference filter_bin PE dedup via u64 hash of seq1)."""
+
+    def __init__(self) -> None:
+        self._seen: Set[int] = set()
+
+    def check_and_add(self, h1: np.ndarray, h2: np.ndarray, active: np.ndarray) -> np.ndarray:
+        """Returns a bool mask: True where the read is NOT a duplicate.
+        Only rows with ``active`` true are inserted."""
+        keys = (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
+        out = np.ones(len(keys), dtype=bool)
+        seen = self._seen
+        for i in np.nonzero(active)[0]:
+            k = int(keys[i])
+            if k in seen:
+                out[i] = False
+            else:
+                seen.add(k)
+        return out
+
+
+@timed()
+def filter_reads(
+    cfg: FilterConfig,
+    fastq1: str,
+    out1: str,
+    fastq2: Optional[str] = None,
+    out2: Optional[str] = None,
+) -> FilterResult:
+    """Run the filter stage. PE iff fastq2 is given."""
+    limit = cfg.trimming * 1_000_000_000 if cfg.trimming else 0
+    timer = StageTimer()
+    dedup = _DedupSet() if (cfg.deduplication and fastq2) else None
+    reads_in = reads_kept = bases_in = bases_kept = dups = 0
+
+    if fastq2 is None:
+        with fastq.FastqWriter(out1, cfg.compress_output) as w:
+            for batch in fastq.read_batches(
+                fastq1, cfg.batch_reads, cfg.max_read_len, keep_names=True, limit_bases=limit
+            ):
+                batch = _trim_batch(batch, cfg.keep_region)
+                if cfg.truncate_only:
+                    keep = np.ones(batch.capacity, dtype=bool)
+                else:
+                    with timer.stage("device"):
+                        keep_d, _, _ = filter_ops.filter_reads(
+                            batch.seqs, batch.quals, batch.lengths,
+                            cfg.ns_valve, cfg.quality_valve, cfg.percentage_valve,
+                        )
+                    keep = np.array(keep_d)
+                keep[batch.count:] = False
+                reads_in += batch.count
+                bases_in += batch.total_bases
+                with timer.stage("write"):
+                    reads_kept += w.write_batch(batch, keep)
+                bases_kept += int(batch.lengths[keep].sum())
+        result = FilterResult(out1, None, reads_in, reads_kept, bases_in, bases_kept, 0)
+    else:
+        assert out2 is not None
+        with fastq.FastqWriter(out1, cfg.compress_output) as w1, fastq.FastqWriter(
+            out2, cfg.compress_output
+        ) as w2:
+            for b1, b2 in fastq.read_pair_batches(
+                fastq1, fastq2, cfg.batch_reads, cfg.max_read_len,
+                keep_names=True, limit_bases=limit,
+            ):
+                b1 = _trim_batch(b1, cfg.keep_region)
+                b2 = _trim_batch(b2, cfg.keep_region)
+                if cfg.truncate_only:
+                    keep = np.ones(b1.capacity, dtype=bool)
+                    keep[b1.count:] = False
+                else:
+                    with timer.stage("device"):
+                        k1, h1, h2 = filter_ops.filter_reads(
+                            b1.seqs, b1.quals, b1.lengths,
+                            cfg.ns_valve, cfg.quality_valve, cfg.percentage_valve,
+                        )
+                        k2, _, _ = filter_ops.filter_reads(
+                            b2.seqs, b2.quals, b2.lengths,
+                            cfg.ns_valve, cfg.quality_valve, cfg.percentage_valve,
+                        )
+                    keep = np.array(np.logical_and(np.asarray(k1), np.asarray(k2)))
+                    keep[b1.count:] = False
+                    if dedup is not None:
+                        uniq = dedup.check_and_add(np.asarray(h1), np.asarray(h2), keep)
+                        dups += int(np.logical_and(keep, ~uniq).sum())
+                        keep = np.logical_and(keep, uniq)
+                reads_in += b1.count
+                bases_in += b1.total_bases + b2.total_bases
+                with timer.stage("write"):
+                    reads_kept += w1.write_batch(b1, keep)
+                    w2.write_batch(b2, keep)
+                bases_kept += int(b1.lengths[keep].sum() + b2.lengths[keep].sum())
+        result = FilterResult(out1, out2, reads_in, reads_kept, bases_in, bases_kept, dups)
+
+    logger.info(
+        f"filter: kept {result.reads_kept}/{result.reads_in} read(-pair)s "
+        f"({100 * result.kept_ratio:.1f}%), {result.bases_kept}/{result.bases_in} bases"
+        + (f", {result.duplicates} duplicates removed" if dedup else "")
+    )
+    logger.debug(timer.report())
+    if result.kept_ratio < 0.5 and result.reads_in:
+        # reference warns on large size shrink (filter/filter.py:71-72)
+        logger.warn("filter: more than half of the reads were discarded — check data quality")
+    return result

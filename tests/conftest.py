@@ -1,0 +1,23 @@
+"""Test harness: force JAX onto a virtual 8-device CPU mesh so sharding and
+collectives are exercised without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The sandbox image pre-imports jax and registers a TPU backend in
+# sitecustomize, so env vars alone are too late — override the live config.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,104 @@
+import numpy as np
+import pytest
+
+from mitoflex_tpu.config import AssembleConfig
+from mitoflex_tpu.io import encoding, fasta
+from mitoflex_tpu.stages import assemble as asm
+from tests import synth
+
+
+def _contains(contig: str, genome: str, circular=False) -> bool:
+    """contig (either strand) is a substring of genome (doubled if circular)."""
+    ref = genome + genome if circular else genome
+    rc = encoding.revcomp_str(contig)
+    return contig in ref or rc in ref
+
+
+def _count_and_assemble(rng, genome, k, n_reads=None, read_len=80, circular=False,
+                        error_rate=0.0, min_multi=2, prune_depth=0, prune_level=0):
+    n_reads = n_reads or (len(genome) * 30 // read_len)
+    reads = synth.shotgun_reads(rng, genome, n_reads, read_len=read_len,
+                                circular=circular, error_rate=error_rate)
+    seqs = np.full((len(reads), 96), 4, dtype=np.int8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, (s, _) in enumerate(reads):
+        seqs[i, : len(s)] = encoding.encode(s)
+        lens[i] = len(s)
+
+    def src():
+        for i in range(0, len(seqs), 512):
+            yield seqs[i : i + 512], lens[i : i + 512]
+
+    keys, counts = asm.count_edges(src, k, min_multi)
+    return asm.assemble_k(keys, counts, k, prune_depth, prune_level, min_standalone=100)
+
+
+def test_linear_genome_single_contig(rng):
+    genome = synth.random_genome(rng, 1500)
+    contigs = _count_and_assemble(rng, genome, k=31)
+    assert len(contigs) >= 1
+    best = max(contigs, key=lambda c: len(c.seq))
+    # error-free 30x coverage should reconstruct essentially the whole genome
+    assert len(best.seq) > 1400
+    assert _contains(best.seq, genome)
+    assert best.depth > 10
+
+
+def test_circular_genome_detected(rng):
+    genome = synth.random_genome(rng, 2000)
+    contigs = _count_and_assemble(rng, genome, k=31, circular=True)
+    best = max(contigs, key=lambda c: len(c.seq))
+    assert best.circular
+    # circular unitig is emitted linearized with k-1 bp terminal duplication
+    assert len(best.seq) >= 2000
+    assert _contains(best.seq, genome, circular=True)
+
+
+def test_error_reads_pruned(rng):
+    genome = synth.random_genome(rng, 1200)
+    contigs = _count_and_assemble(
+        rng, genome, k=25, n_reads=900, error_rate=0.005,
+        min_multi=3, prune_depth=3, prune_level=2,
+    )
+    best = max(contigs, key=lambda c: len(c.seq))
+    assert len(best.seq) > 1000
+    assert _contains(best.seq, genome)
+
+
+def test_empty_graph_raises(rng):
+    genome = synth.random_genome(rng, 300)
+    with pytest.raises(asm.EmptyGraph):
+        _count_and_assemble(rng, genome, k=31, n_reads=4, min_multi=50)
+
+
+def test_filter_contigs_gate():
+    contigs = [
+        asm.Contig("A" * 300, 50.0, False),
+        asm.Contig("C" * 300, 5.0, False),
+        asm.Contig("G" * 100, 80.0, False),   # too short
+        asm.Contig("T" * 30000, 80.0, False), # too long
+    ]
+    kept = asm.filter_contigs(contigs, 10, 200, 20000)
+    assert len(kept) == 1 and kept[0].depth == 50.0
+    # filter_keep fallback keeps top-N by depth
+    kept = asm.filter_contigs(contigs, 1000, 200, 20000, filter_keep=2)
+    assert len(kept) == 2 and kept[0].depth == 80.0
+
+
+def test_assemble_stage_end_to_end(tmp_path, rng):
+    genome = synth.random_genome(rng, 2500)
+    pairs = synth.shotgun_reads(rng, genome, 1200, read_len=90, insert=250)
+    p1 = synth.write_fastq(tmp_path / "r1.fq", [p[0] for p in pairs])
+    p2 = synth.write_fastq(tmp_path / "r2.fq", [p[1] for p in pairs])
+    cfg = AssembleConfig(
+        kmer_list=[21, 41], depth_list=[2, 2], min_multi=2,
+        prune_depth=2, prune_level=2, min_length=200,
+    )
+    out = str(tmp_path / "contigs.fa")
+    asm.assemble(cfg, p1, str(p2), out, read_chunk=512, max_read_len=96)
+    recs = fasta.load_fasta(out)
+    assert recs
+    best = max(recs, key=lambda r: len(r.seq))
+    assert len(best.seq) > 2300
+    assert _contains(best.seq, genome)
+    assert best.multi > 5

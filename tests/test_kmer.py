@@ -1,0 +1,128 @@
+from collections import Counter
+
+import jax.numpy as jnp
+import numpy as np
+
+from mitoflex_tpu.io import encoding
+from mitoflex_tpu.ops import kmer as kmer_ops
+from tests import synth
+
+
+def naive_kmer_counts(seqs, k):
+    """Both-strand k-mer counter (skip windows with N)."""
+    comp = str.maketrans("ACGTN", "TGCAN")
+    c = Counter()
+    for s in seqs:
+        for strand in (s, s.translate(comp)[::-1]):
+            for i in range(len(strand) - k + 1):
+                w = strand[i : i + k]
+                if "N" not in w:
+                    c[w] += 1
+    return c
+
+
+def pack_str(s, W):
+    words = [0] * W
+    for i, ch in enumerate(s):
+        w, t = divmod(i, 16)
+        words[w] |= "ACGT".index(ch) << (2 * (15 - t))
+    return tuple(words)
+
+
+def _to_batch(seqs, L):
+    B = len(seqs)
+    arr = np.full((B, L), 4, dtype=np.int8)
+    lens = np.zeros(B, np.int32)
+    for i, s in enumerate(seqs):
+        arr[i, : len(s)] = encoding.encode(s)
+        lens[i] = len(s)
+    return arr, lens
+
+
+def test_extract_kmers_small():
+    seqs, lens = _to_batch(["ACGTA", "GGNCC"], 8)
+    words, valid = kmer_ops.extract_kmers(jnp.asarray(seqs), jnp.asarray(lens), 3)
+    valid = np.asarray(valid)
+    w0 = np.asarray(words[0])
+    # row 0: ACG, CGT, GTA valid
+    assert valid[0].tolist() == [True, True, True, False, False, False]
+    assert w0[0, 0] == pack_str("ACG", 1)[0]
+    assert w0[0, 2] == pack_str("GTA", 1)[0]
+    # row 1: GGN, GNC, NCC invalid (N), nothing valid
+    assert valid[1].tolist() == [False, False, False, False, False, False]
+
+
+def test_count_chunk_matches_naive(rng):
+    g = synth.random_genome(rng, 300)
+    reads = [r for r, _ in synth.shotgun_reads(rng, g, 40, read_len=60)]
+    k = 21
+    seqs, lens = _to_batch(reads, 64)
+    uw, uc, nu = kmer_ops.count_chunk(jnp.asarray(seqs), jnp.asarray(lens), k)
+    nu = int(nu)
+    keys = kmer_ops.words_to_np_keys([np.asarray(w)[:nu] for w in uw])
+    counts = np.asarray(uc)[:nu]
+    got = {}
+    W = keys.shape[1]
+    for row, c in zip(keys, counts):
+        got[tuple(int(x) for x in row)] = int(c)
+    want = naive_kmer_counts(reads, k)
+    want_packed = Counter()
+    for s, c in want.items():
+        want_packed[pack_str(s, W)] += c
+    assert got == dict(want_packed)
+    # sortedness
+    view = kmer_ops.np_keys_view(keys)
+    assert (np.sort(view) == view).all()
+
+
+def test_count_chunk_long_kmer(rng):
+    """k > 16 spans multiple words; k=33 spans 3."""
+    g = synth.random_genome(rng, 200)
+    reads = [g[i : i + 80] for i in range(0, 120, 7)]
+    k = 33
+    seqs, lens = _to_batch(reads, 96)
+    uw, uc, nu = kmer_ops.count_chunk(jnp.asarray(seqs), jnp.asarray(lens), k)
+    nu = int(nu)
+    keys = kmer_ops.words_to_np_keys([np.asarray(w)[:nu] for w in uw])
+    counts = np.asarray(uc)[:nu]
+    want = naive_kmer_counts(reads, k)
+    assert nu == len(want)
+    assert int(counts.sum()) == sum(want.values())
+
+
+def test_merge_sorted_counts():
+    a = np.array([[1, 0], [3, 5], [7, 7]], np.uint32)
+    ac = np.array([2, 1, 4], np.uint64)
+    b = np.array([[0, 9], [3, 5], [9, 0]], np.uint32)
+    bc = np.array([1, 10, 3], np.uint64)
+    mk, mc = kmer_ops.merge_sorted_counts(a, ac, b, bc)
+    assert mk.tolist() == [[0, 9], [1, 0], [3, 5], [7, 7], [9, 0]]
+    assert mc.tolist() == [1, 2, 11, 4, 3]
+
+
+def test_multiword_searchsorted():
+    rng = np.random.default_rng(1)
+    V, Q, W = 100, 64, 3
+    table = rng.integers(0, 50, size=(V, W)).astype(np.uint32)
+    view = kmer_ops.np_keys_view(table)
+    table = table[np.argsort(view)]
+    pad = np.full((28, W), 0xFFFFFFFF, np.uint32)
+    padded = np.concatenate([table, pad])
+    queries = rng.integers(0, 55, size=(Q, W)).astype(np.uint32)
+    got = kmer_ops.multiword_searchsorted(
+        [jnp.asarray(padded[:, w]) for w in range(W)],
+        [jnp.asarray(queries[:, w]) for w in range(W)],
+        jnp.int32(V),
+    )
+    want = np.searchsorted(
+        kmer_ops.np_keys_view(table), kmer_ops.np_keys_view(queries), side="left"
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_revcomp_codes():
+    seqs, lens = _to_batch(["ACGT", "AAC"], 6)
+    rc = np.asarray(kmer_ops.revcomp_codes(jnp.asarray(seqs), jnp.asarray(lens)))
+    assert encoding.decode(rc[0][:4]) == "ACGT"
+    assert encoding.decode(rc[1][:3]) == "GTT"
+    assert (rc[0][4:] == 4).all() and (rc[1][3:] == 4).all()
