@@ -1,0 +1,154 @@
+"""nhmmer-equivalent profile search driver.
+
+Replaces the reference's ``nhmmer --tblout`` subprocess + 15-column pandas
+parse (annotation/annotation_tookit.py:510-548). Contigs are cut into
+overlapping windows per profile, batched to fixed shapes, scanned on device
+on both strands (ops/phmm.py), and surviving hits are emitted as a pandas
+frame with the tblout-compatible columns the pipeline consumes:
+
+    target  query  hmmfrom  hmmto  alifrom  alito  sqlen  strand  e  score
+
+Coordinates are 1-based inclusive like nhmmer; minus-strand hits have
+alifrom > alito (plus-strand coordinates of the match), matching the
+reference data contract.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..io import encoding
+from ..io.fasta import FastaRecord
+from ..ops import phmm as phmm_ops
+from ..models.hmm import ProfileHMM
+from ..utils.logger import logger
+
+TBLOUT_COLUMNS = [
+    "target", "query", "hmmfrom", "hmmto", "alifrom", "alito",
+    "sqlen", "strand", "e", "score",
+]
+
+
+@dataclass
+class _Window:
+    contig_idx: int
+    strand: int       # +1 / -1
+    offset: int       # start of window within the (oriented) sequence
+    length: int
+
+
+def _windows_for(length: int, win: int, overlap: int) -> List[Tuple[int, int]]:
+    if length <= win:
+        return [(0, length)]
+    out = []
+    step = win - overlap
+    s = 0
+    while s < length:
+        e = min(s + win, length)
+        out.append((s, e - s))
+        if e == length:
+            break
+        s += step
+    return out
+
+
+def nhmmer_search(
+    contigs: Sequence[FastaRecord],
+    profiles: Sequence[ProfileHMM],
+    e_threshold: float = 1e-3,
+    score_threshold: float = 0.0,
+    batch_windows: int = 32,
+) -> pd.DataFrame:
+    """Scan every contig (both strands) against every profile."""
+    rows: List[dict] = []
+    codes = [c.codes for c in contigs]
+    rc_codes = [np.asarray(encoding.revcomp(x)) for x in codes]
+    total_bases = float(sum(len(x) for x in codes)) or 1.0
+
+    for hmm in profiles:
+        prof = phmm_ops.stage_profile(hmm)
+        L = hmm.length
+        win = min(max(2 * L, 512), 8192)
+        overlap = min(L, win // 2)
+        T = -(-win // 256) * 256
+
+        windows: List[_Window] = []
+        for ci, c in enumerate(codes):
+            for strand, arr in ((1, codes[ci]), (-1, rc_codes[ci])):
+                for off, wl in _windows_for(len(arr), win, overlap):
+                    windows.append(_Window(ci, strand, off, wl))
+
+        mu, lam = hmm.stats.get("VITERBI", (0.0, 0.7))
+        n_targets = max(total_bases / max(L, 1), 1.0)
+
+        for b0 in range(0, len(windows), batch_windows):
+            chunk = windows[b0 : b0 + batch_windows]
+            B = len(chunk)
+            Bp = batch_windows
+            seqs = np.full((Bp, T), encoding.N, dtype=np.int8)
+            lens = np.zeros(Bp, np.int32)
+            for i, w in enumerate(chunk):
+                arr = codes[w.contig_idx] if w.strand == 1 else rc_codes[w.contig_idx]
+                seqs[i, : w.length] = arr[w.offset : w.offset + w.length]
+                lens[i] = w.length
+            hits = phmm_ops.viterbi_scan(prof, jnp.asarray(seqs), jnp.asarray(lens), L)
+            score = np.asarray(hits.score)
+            sf, st = np.asarray(hits.seq_from), np.asarray(hits.seq_to)
+            hf, ht = np.asarray(hits.hmm_from), np.asarray(hits.hmm_to)
+            evals = phmm_ops.evalue(score, mu, lam, n_targets)
+            for i, w in enumerate(chunk):
+                if score[i] < score_threshold or evals[i] > e_threshold:
+                    continue
+                clen = len(codes[w.contig_idx])
+                a = w.offset + int(sf[i])   # 0-based within oriented seq
+                b = w.offset + int(st[i])
+                if w.strand == 1:
+                    alifrom, alito = a + 1, b + 1
+                else:
+                    alifrom, alito = clen - a, clen - b  # 1-based, from > to
+                rows.append(
+                    dict(
+                        target=contigs[w.contig_idx].id,
+                        query=hmm.name,
+                        hmmfrom=int(hf[i]),
+                        hmmto=int(ht[i]),
+                        alifrom=alifrom,
+                        alito=alito,
+                        sqlen=clen,
+                        strand="+" if w.strand == 1 else "-",
+                        e=float(evals[i]),
+                        score=float(score[i]),
+                    )
+                )
+
+    frame = pd.DataFrame(rows, columns=TBLOUT_COLUMNS)
+    if frame.empty:
+        return frame
+    # overlapping windows can report the same alignment twice: keep the best
+    # score per (target, query, overlapping span); also dedup (target, query)
+    # exact pairs like the reference's frame dedup (annotation_tookit.py:546)
+    frame = frame.sort_values("score", ascending=False, kind="stable")
+    kept: List[int] = []
+    spans: Dict[Tuple[str, str, str], List[Tuple[int, int]]] = {}
+    for idx, row in frame.iterrows():
+        lo, hi = sorted((row.alifrom, row.alito))
+        key = (row.target, row.query, row.strand)
+        overlapped = False
+        for (plo, phi) in spans.get(key, []):
+            inter = min(hi, phi) - max(lo, plo) + 1
+            if inter > 0.5 * min(hi - lo + 1, phi - plo + 1):
+                overlapped = True
+                break
+        if overlapped:
+            continue
+        spans.setdefault(key, []).append((lo, hi))
+        kept.append(idx)
+    frame = frame.loc[kept].reset_index(drop=True)
+    logger.debug(f"nhmmer_search: {len(frame)} hits over {len(contigs)} contigs")
+    return frame

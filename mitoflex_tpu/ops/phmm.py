@@ -1,0 +1,243 @@
+"""Profile-HMM local Viterbi scan on device.
+
+TPU-native replacement for nhmmer's DNA profile search (reference hot loop
+#4: annotation/annotation_tookit.py:510-548 shells out to ``nhmmer`` over
+per-clade CDS models). One device call scores a batch of sequence windows
+against one profile and returns per-window best local alignment score plus
+its coordinates (sequence from/to and model from/to) — the information the
+pipeline consumes from nhmmer's tblout (target/query from/to, score).
+
+DP formulation (plan7 local, uniform entry, free exit):
+
+    M[t,j] = msc[j, x_t] + max(entry + 0,                     (B -> M_j)
+                               M[t-1,j-1] + tMM[j-1],
+                               I[t-1,j-1] + tIM[j-1],
+                               D[t-1,j-1] + tDM[j-1])
+    I[t,j] = isc[j, x_t] + max(M[t-1,j] + tMI[j], I[t-1,j] + tII[j])
+    D[t,j] = max_{i<j} (M[t,i] + tMD[i] + sum_{u=i+1..j-1} tDD[u])
+
+The D row is a max-plus prefix reduction: with c[j] = cumsum(tDD),
+D[t,j] = c[j-1] + cummax_{i<j}(M[t,i] + tMD[i] - c[i]) — computed with an
+associative scan that also carries the argmax's (seq_start, model_start)
+so alignment envelopes come out of the forward pass with no traceback.
+The t loop is a lax.scan; everything inside is vectorized over
+[batch, model_len] on the VPU.
+
+Scores are in bits (log2-odds vs flat background), close to but not
+bit-identical with HMMER's (no NJC length model, no null2 bias
+correction); E-values use the model's STATS VITERBI gumbel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.hmm import ProfileHMM
+
+NEG = -1e30
+
+
+class HmmHits(NamedTuple):
+    score: jax.Array     # [B] float32 best local score (bits)
+    seq_from: jax.Array  # [B] int32 0-based inclusive
+    seq_to: jax.Array    # [B] int32 0-based inclusive
+    hmm_from: jax.Array  # [B] int32 1-based model node
+    hmm_to: jax.Array    # [B] int32
+
+
+class DeviceProfile(NamedTuple):
+    """Model arrays staged for the kernel (padded model length Lp)."""
+
+    msc: jax.Array     # [Lp, 4] match log2-odds
+    isc: jax.Array     # [Lp, 4] insert log2-odds
+    tmm: jax.Array     # [Lp] transition bits into M_{j} from M_{j-1} ... etc
+    tim: jax.Array
+    tdm: jax.Array
+    tmi: jax.Array
+    tii: jax.Array
+    tmd: jax.Array
+    cdd: jax.Array     # [Lp] cumulative tDD bits
+    entry: jax.Array   # scalar B->M entry score (bits)
+    length: int        # real model length L
+
+
+def stage_profile(hmm: ProfileHMM, pad_to: int = 128) -> DeviceProfile:
+    """Convert a parsed model into padded device arrays.
+
+    Index convention: arrays are indexed by j-1 (model node j in 1..L at
+    row j-1). Transition vectors are aligned so that row j-1 holds the
+    transition INTO node j (i.e. t*(j-1) for M/I/D arrivals)."""
+    L = hmm.length
+    Lp = -(-L // pad_to) * pad_to
+    msc_full = hmm.match_scores_bits()      # [L+1, 4]
+    isc_full = hmm.insert_scores_bits()
+    tb = hmm.trans_bits()                   # [L+1, 7]
+
+    def pad(v, fill):
+        out = np.full((Lp,) + v.shape[1:], fill, np.float32)
+        out[: v.shape[0]] = v
+        return out
+
+    msc = pad(msc_full[1:], NEG)
+    isc = pad(isc_full[1:], NEG)
+    # transitions into node j come from row j-1 of the file table
+    tmm = pad(tb[0:L, ProfileHMM.MM], NEG)
+    tim = pad(tb[0:L, ProfileHMM.IM], NEG)
+    tdm = pad(tb[0:L, ProfileHMM.DM], NEG)
+    # self transitions at node j (row j)
+    tmi = pad(tb[1 : L + 1, ProfileHMM.MI], NEG)
+    tii = pad(tb[1 : L + 1, ProfileHMM.II], NEG)
+    tmd = pad(tb[1 : L + 1, ProfileHMM.MD], NEG)
+    # clip "impossible" (-inf) transitions to -1e4 bits so cumulative sums
+    # stay finite and differences of cdd remain meaningful
+    tdd = np.clip(tb[1 : L + 1, ProfileHMM.DD], -1e4, 0)
+    cdd = pad(np.cumsum(tdd), NEG)
+    entry = np.float32(math.log2(2.0 / (L * (L + 1))))
+    return DeviceProfile(
+        jnp.asarray(msc), jnp.asarray(isc),
+        jnp.asarray(tmm), jnp.asarray(tim), jnp.asarray(tdm),
+        jnp.asarray(tmi), jnp.asarray(tii), jnp.asarray(tmd),
+        jnp.asarray(cdd), jnp.asarray(entry), L,
+    )
+
+
+def _shift_right(x, fill):
+    return jnp.concatenate([jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]], axis=-1)
+
+
+def _pick4(vals, payloads):
+    """argmax over 4 stacked candidate arrays; returns (best, picked payloads)."""
+    stack = jnp.stack(vals)                      # [4, B, L]
+    idx = jnp.argmax(stack, axis=0)              # [B, L]
+    best = jnp.take_along_axis(stack, idx[None], axis=0)[0]
+    picked = []
+    for p in payloads:                           # p: list of 4 [B, L] arrays
+        ps = jnp.stack(p)
+        picked.append(jnp.take_along_axis(ps, idx[None], axis=0)[0])
+    return best, picked
+
+
+@functools.partial(jax.jit, static_argnames=("model_len",))
+def viterbi_scan(
+    prof: DeviceProfile,
+    seqs: jax.Array,       # [B, T] int8 (4 = N/pad)
+    lengths: jax.Array,    # [B] int32
+    model_len: int,
+) -> HmmHits:
+    B, T = seqs.shape
+    Lp = prof.msc.shape[0]
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
+    in_model = jcol < model_len
+
+    neg = jnp.float32(NEG)
+    init = dict(
+        M=jnp.full((B, Lp), neg), I=jnp.full((B, Lp), neg), D=jnp.full((B, Lp), neg),
+        M_ts=jnp.zeros((B, Lp), jnp.int32), M_js=jnp.zeros((B, Lp), jnp.int32),
+        I_ts=jnp.zeros((B, Lp), jnp.int32), I_js=jnp.zeros((B, Lp), jnp.int32),
+        D_ts=jnp.zeros((B, Lp), jnp.int32), D_js=jnp.zeros((B, Lp), jnp.int32),
+        best=jnp.full((B,), neg),
+        b_sf=jnp.zeros((B,), jnp.int32), b_st=jnp.zeros((B,), jnp.int32),
+        b_hf=jnp.zeros((B,), jnp.int32), b_ht=jnp.zeros((B,), jnp.int32),
+    )
+
+    def step(state, t):
+        x = seqs[:, t].astype(jnp.int32)                       # [B]
+        x_valid = jnp.logical_and(x < 4, t < lengths)          # [B]
+        em = jnp.where(x_valid[:, None],
+                       prof.msc[jcol, jnp.clip(x, 0, 3)[:, None]], neg)
+        ei = jnp.where(x_valid[:, None],
+                       prof.isc[jcol, jnp.clip(x, 0, 3)[:, None]], neg)
+
+        Mp = _shift_right(state["M"], NEG)     # M[t-1, j-1]
+        Ip = _shift_right(state["I"], NEG)
+        Dp = _shift_right(state["D"], NEG)
+        Mp_ts = _shift_right(state["M_ts"], 0)
+        Mp_js = _shift_right(state["M_js"], 0)
+        Ip_ts = _shift_right(state["I_ts"], 0)
+        Ip_js = _shift_right(state["I_js"], 0)
+        Dp_ts = _shift_right(state["D_ts"], 0)
+        Dp_js = _shift_right(state["D_js"], 0)
+        # prof.tmm/tim/tdm row i holds the transition INTO node i+1, aligned
+        # with the arrival index — shift the STATE, not the table.
+        entry_ts = jnp.broadcast_to(jnp.int32(t), (B, Lp))
+        entry_js = jnp.broadcast_to(jcol + 1, (B, Lp))
+        cand_vals = [
+            jnp.broadcast_to(prof.entry, (B, Lp)),
+            Mp + prof.tmm[None, :],
+            Ip + prof.tim[None, :],
+            Dp + prof.tdm[None, :],
+        ]
+        ts_cands = [entry_ts, Mp_ts, Ip_ts, Dp_ts]
+        js_cands = [entry_js, Mp_js, Ip_js, Dp_js]
+        bestM, (M_ts, M_js) = _pick4(cand_vals, [ts_cands, js_cands])
+        M = jnp.where(in_model, em + bestM, neg)
+
+        iv = [state["M"] + prof.tmi[None, :], state["I"] + prof.tii[None, :]]
+        stacked = jnp.stack(iv)
+        ii = jnp.argmax(stacked, axis=0)
+        bestI = jnp.take_along_axis(stacked, ii[None], axis=0)[0]
+        I_ts = jnp.where(ii == 0, state["M_ts"], state["I_ts"])
+        I_js = jnp.where(ii == 0, state["M_js"], state["I_js"])
+        I = jnp.where(in_model, ei + bestI, neg)
+
+        # D row: c[j-1] + exclusive-cummax_{i<=j-1}(M[t,i] + tMD[i] - c[i])
+        a = M + prof.tmd[None, :] - prof.cdd[None, :]
+        a = jnp.where(in_model, a, neg)
+
+        def comb(l, r):
+            lv, lts, ljs = l
+            rv, rts, rjs = r
+            take_l = lv >= rv
+            return (
+                jnp.where(take_l, lv, rv),
+                jnp.where(take_l, lts, rts),
+                jnp.where(take_l, ljs, rjs),
+            )
+
+        cm, cm_ts, cm_js = jax.lax.associative_scan(
+            comb, (a, M_ts, M_js), axis=1
+        )
+        cm = _shift_right(cm, NEG)
+        D_ts = _shift_right(cm_ts, 0)
+        D_js = _shift_right(cm_js, 0)
+        cdd_prev = _shift_right(prof.cdd[None, :], 0.0)
+        D = jnp.where(in_model, cm + cdd_prev, neg)
+
+        # exit: E[t] = max_j M[t,j] (free local exit)
+        endj = jnp.argmax(M, axis=1)
+        escore = jnp.take_along_axis(M, endj[:, None], axis=1)[:, 0]
+        better = escore > state["best"]
+        best = jnp.where(better, escore, state["best"])
+        b_sf = jnp.where(better, jnp.take_along_axis(M_ts, endj[:, None], 1)[:, 0], state["b_sf"])
+        b_hf = jnp.where(better, jnp.take_along_axis(M_js, endj[:, None], 1)[:, 0], state["b_hf"])
+        b_st = jnp.where(better, jnp.int32(t), state["b_st"])
+        b_ht = jnp.where(better, endj.astype(jnp.int32) + 1, state["b_ht"])
+
+        new_state = dict(
+            M=M, I=I, D=D, M_ts=M_ts, M_js=M_js, I_ts=I_ts, I_js=I_js,
+            D_ts=D_ts, D_js=D_js, best=best, b_sf=b_sf, b_st=b_st,
+            b_hf=b_hf, b_ht=b_ht,
+        )
+        return new_state, None
+
+    state, _ = jax.lax.scan(step, init, jnp.arange(T))
+    return HmmHits(
+        score=state["best"],
+        seq_from=state["b_sf"],
+        seq_to=state["b_st"],
+        hmm_from=state["b_hf"],
+        hmm_to=state["b_ht"],
+    )
+
+
+def evalue(score_bits: np.ndarray, mu: float, lam: float, n_targets: float) -> np.ndarray:
+    """Gumbel tail: P(S >= x) ~= exp(-lambda * (x - mu)); E = n * P."""
+    z = np.clip(-lam * (np.asarray(score_bits) - mu), -700, 700)
+    p = np.exp(z)
+    return np.minimum(n_targets * p, n_targets)
