@@ -1,0 +1,309 @@
+"""tblastn/blastn-equivalent translated & nucleotide homology search.
+
+Replaces the reference's BLAST+ subprocesses and their result algebra
+(annotation/annotation_tookit.py):
+
+- ``tblastn_multi`` (:61-97) — protein DB vs six-frame-translated contigs.
+  Here: host-side seed index (exact aa k-mers) selects candidate
+  (query, contig, frame) pairs and their diagonal windows; the batched
+  device SW kernel (ops/sw.py, BLOSUM62) scores them; hits are emitted as
+  an outfmt-6-compatible pandas frame (qseq sseq ident length mismatch gap
+  qstart qend sstart send evalue score) with nucleotide subject
+  coordinates, sstart>send on the minus strand — the exact contract the
+  downstream washing/picking code consumes. The reference's
+  multiprocessing.Pool query sharding (:74-97) becomes device batching.
+- ``blastn_multi`` (:115-143) — nucleotide mode with exact-match seeding.
+- ``blast_to_csv`` (:146-168) — dedup + identity/score/query-coverage
+  gates, reproduced including the qmax quirk (the per-query max qend is
+  only used when a query has >2 hits).
+- ``wash_blast_results`` (:172-222) — greedy per-subject highest-score
+  selection with overlap cutoff ratio and same-gene zero tolerance,
+  reproduced faithfully (it defines output equivalence).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..io import encoding
+from ..io.fasta import FastaRecord
+from ..ops import sw as sw_ops
+from . import codon
+from .proteindb import ProteinRecord, parse_protein_id
+
+OUTFMT6 = [
+    "qseq", "sseq", "ident", "length", "mismatch", "gap",
+    "qstart", "qend", "sstart", "send", "evalue", "score",
+]
+
+# gapped Karlin-Altschul constants
+_BLOSUM62_LK = (0.267, 0.041)      # BLAST tblastn defaults (11,1)
+_NT_LK = (0.625, 0.41)             # blastn megablast-ish (+2/-3)
+
+
+def _bitscore(raw: np.ndarray, lam: float, K: float) -> np.ndarray:
+    return (lam * np.asarray(raw) - math.log(K)) / math.log(2)
+
+
+def _evalue(bits: np.ndarray, m: float, n: float) -> np.ndarray:
+    return m * n * np.exp2(-np.asarray(bits))
+
+
+def _pad_rows(rows: List[np.ndarray], fill: int, pad_to: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    mx = max((len(r) for r in rows), default=pad_to)
+    mx = -(-mx // pad_to) * pad_to
+    out = np.full((len(rows), mx), fill, dtype=np.int8)
+    lens = np.zeros(len(rows), dtype=np.int32)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+        lens[i] = len(r)
+    return out, lens
+
+
+def _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend, fill, batch=64):
+    """Align row i of q_rows vs row i of t_rows; returns numpy SwHits."""
+    res = []
+    for b0 in range(0, len(q_rows), batch):
+        qs, ql = _pad_rows(q_rows[b0 : b0 + batch], fill)
+        ts, tl = _pad_rows(t_rows[b0 : b0 + batch], fill)
+        hits = sw_ops.sw_align(
+            jnp.asarray(qs), jnp.asarray(ql), jnp.asarray(ts), jnp.asarray(tl),
+            jnp.asarray(submat), gap_open, gap_extend,
+        )
+        res.append([np.asarray(x) for x in hits])
+    if not res:
+        return None
+    return [np.concatenate([r[i] for r in res]) for i in range(7)]
+
+
+class SeedIndex:
+    """Exact k-mer inverted index over query sequences (host side)."""
+
+    def __init__(self, seqs: Sequence[np.ndarray], k: int, alphabet: int):
+        self.k = k
+        self.index: Dict[bytes, List[Tuple[int, int]]] = defaultdict(list)
+        for qi, s in enumerate(seqs):
+            b = np.asarray(s, dtype=np.int8).tobytes()
+            for p in range(0, len(b) - k + 1):
+                self.index[b[p : p + k]].append((qi, p))
+
+    def hits(self, target: np.ndarray):
+        """yield (query_idx, query_pos, target_pos)."""
+        b = np.asarray(target, dtype=np.int8).tobytes()
+        k = self.k
+        idx = self.index
+        for p in range(0, len(b) - k + 1):
+            for qi, qp in idx.get(b[p : p + k], ()):
+                yield qi, qp, p
+
+
+def tblastn(
+    db: Sequence[ProteinRecord],
+    contigs: Sequence[FastaRecord],
+    table_id: int,
+    seed_len: int = 4,
+    min_seeds: int = 2,
+    gap_open: float = 12.0,   # BLAST 11 + ext 1 (see ops/sw.py convention)
+    gap_extend: float = 1.0,
+    window_slack: int = 30,
+) -> pd.DataFrame:
+    """Protein queries vs translated contigs → outfmt-6 frame."""
+    submat = codon.blosum62()
+    seed_idx = SeedIndex([r.aa_codes for r in db], seed_len, codon.NUM_AA)
+    m_total = float(sum(r.length for r in db)) or 1.0
+
+    q_rows, t_rows, meta = [], [], []
+    for ci, contig in enumerate(contigs):
+        codes = contig.codes
+        for frame, aa in codon.six_frame_translate(codes, table_id):
+            if len(aa) < seed_len:
+                continue
+            # collect seed target positions per query
+            per_q: Dict[int, List[int]] = defaultdict(list)
+            for qi, qp, tp in seed_idx.hits(aa):
+                per_q[qi].append(tp - qp)  # diagonal anchor
+            for qi, anchors in per_q.items():
+                if len(anchors) < min_seeds:
+                    continue
+                qlen = db[qi].length
+                lo = max(min(anchors) - window_slack, 0)
+                hi = min(max(anchors) + qlen + window_slack, len(aa))
+                q_rows.append(db[qi].aa_codes)
+                t_rows.append(np.asarray(aa[lo:hi]))
+                meta.append((qi, ci, frame, lo))
+
+    out = _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend, codon.X_CODE)
+    rows = []
+    if out is not None:
+        score, qf, qt, tf, tt, nid, ncol = out
+        lam, K = _BLOSUM62_LK
+        bits = _bitscore(score, lam, K)
+        for i, (qi, ci, frame, lo) in enumerate(meta):
+            ncols = max(int(ncol[i]), 1)
+            aa_from = lo + int(tf[i])
+            aa_to = lo + int(tt[i])
+            clen = len(contigs[ci].seq)
+            if frame > 0:
+                s_start = (frame - 1) + 3 * aa_from + 1
+                s_end = (frame - 1) + 3 * aa_to + 3
+            else:
+                # coordinates on the reverse strand, mapped to plus strand
+                rc_start = (-frame - 1) + 3 * aa_from
+                rc_end = (-frame - 1) + 3 * aa_to + 2
+                s_start = clen - rc_start       # 1-based, start > end
+                s_end = clen - rc_end
+            ev = float(_evalue(bits[i : i + 1], m_total, clen)[0])
+            rows.append(
+                dict(
+                    qseq=db[qi].id, sseq=contigs[ci].id,
+                    ident=100.0 * int(nid[i]) / ncols,
+                    length=ncols,
+                    mismatch=ncols - int(nid[i]),
+                    gap=0,
+                    qstart=int(qf[i]) + 1, qend=int(qt[i]) + 1,
+                    sstart=s_start, send=s_end,
+                    evalue=ev, score=float(bits[i]),
+                )
+            )
+    frame_df = pd.DataFrame(rows, columns=OUTFMT6)
+    return frame_df
+
+
+def blastn(
+    queries: Sequence[FastaRecord],
+    subjects: Sequence[FastaRecord],
+    seed_len: int = 11,
+    min_seeds: int = 1,
+    gap_open: float = 7.0,
+    gap_extend: float = 2.0,
+    window_slack: int = 50,
+    skip_self: bool = False,
+) -> pd.DataFrame:
+    """Nucleotide vs nucleotide → outfmt-6 frame (both strands)."""
+    submat = sw_ops.nucleotide_matrix()
+    q_codes = [q.codes for q in queries]
+    seed_idx = SeedIndex(q_codes, seed_len, 5)
+    m_total = float(sum(len(q.seq) for q in queries)) or 1.0
+
+    q_rows, t_rows, meta = [], [], []
+    for si, subj in enumerate(subjects):
+        for strand, codes in ((1, subj.codes), (-1, np.asarray(encoding.revcomp(subj.codes)))):
+            per_q: Dict[int, List[int]] = defaultdict(list)
+            for qi, qp, tp in seed_idx.hits(codes):
+                if skip_self and queries[qi].id == subj.id and strand == 1:
+                    continue
+                per_q[qi].append(tp - qp)
+            for qi, anchors in per_q.items():
+                if len(anchors) < min_seeds:
+                    continue
+                qlen = len(q_codes[qi])
+                lo = max(min(anchors) - window_slack, 0)
+                hi = min(max(anchors) + qlen + window_slack, len(codes))
+                q_rows.append(q_codes[qi])
+                t_rows.append(codes[lo:hi])
+                meta.append((qi, si, strand, lo))
+
+    out = _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend, encoding.N)
+    rows = []
+    if out is not None:
+        score, qf, qt, tf, tt, nid, ncol = out
+        lam, K = _NT_LK
+        bits = _bitscore(score, lam, K)
+        for i, (qi, si, strand, lo) in enumerate(meta):
+            ncols = max(int(ncol[i]), 1)
+            clen = len(subjects[si].seq)
+            a = lo + int(tf[i])
+            b = lo + int(tt[i])
+            if strand == 1:
+                s_start, s_end = a + 1, b + 1
+            else:
+                s_start, s_end = clen - a, clen - b  # start > end
+            ev = float(_evalue(bits[i : i + 1], m_total, clen)[0])
+            rows.append(
+                dict(
+                    qseq=queries[qi].id, sseq=subjects[si].id,
+                    ident=100.0 * int(nid[i]) / ncols,
+                    length=ncols, mismatch=ncols - int(nid[i]), gap=0,
+                    qstart=int(qf[i]) + 1, qend=int(qt[i]) + 1,
+                    sstart=s_start, send=s_end,
+                    evalue=ev, score=float(bits[i]),
+                )
+            )
+    return pd.DataFrame(rows, columns=OUTFMT6)
+
+
+# ------------------------------------------------------------- hit algebra
+def blast_filter(
+    frame: pd.DataFrame, ident: float = 30, score: float = 25, qcover: float = 0.25
+) -> pd.DataFrame:
+    """blast_to_csv semantics (annotation_tookit.py:146-168): dedup,
+    identity/score gates, and the query-coverage gate against qmax (which
+    the reference only maxes over queries with >2 hits)."""
+    if frame.empty:
+        return frame
+    f = frame.drop_duplicates(keep="first")
+    f = f[f.ident > ident]
+    f = f[f.score > score]
+    if f.empty:
+        return f
+    f = f.copy()
+    f["qmax"] = f.groupby("qseq")["qend"].transform(
+        lambda x: max(x) if x.count() > 2 else x
+    )
+    f = f[f.qend - f.qstart >= f.qmax * qcover]
+    return f.drop(columns=["qmax"])
+
+
+def gene_of_qseq(qseq: str) -> str:
+    return parse_protein_id(qseq)["gene"]
+
+
+def wash_blast_results(
+    frame: pd.DataFrame, overlap_ratio: float = 0.2, mut_plus: bool = True
+) -> pd.DataFrame:
+    """Greedy per-subject non-overlap selection
+    (annotation_tookit.py:172-222). Adds a 'plus' strand column, normalizes
+    sstart<send, then repeatedly takes the highest-scoring hit per subject
+    and drops hits overlapping it by more than overlap_ratio *
+    min(length) — with zero tolerance when the overlapping hit is the SAME
+    gene (fragment-border ambiguity)."""
+    if frame.empty:
+        raise RuntimeError(
+            "Empty blast frame! No significant result found in blast."
+        )
+    f = frame.copy()
+    if mut_plus:
+        f["plus"] = (f.send - f.sstart) > 0
+    lo = np.minimum(f.sstart, f.send)
+    hi = np.maximum(f.sstart, f.send)
+    f["sstart"], f["send"] = lo, hi
+
+    results = []
+    for _, sub in f.groupby("sseq"):
+        sub = sub.sort_values("sstart", kind="stable")
+        while not sub.empty:
+            highest = sub[sub.score == sub.score.max()].head(1)
+            results.append(highest)
+            max_len = int(highest.send.iloc[0] - highest.sstart.iloc[0]) + 1
+            max_start = int(highest.sstart.iloc[0]) + 1
+            max_end = int(highest.send.iloc[0])
+            max_gene = gene_of_qseq(str(highest.qseq.iloc[0]))
+            sub = sub.drop(highest.index)
+            if sub.empty:
+                break
+            # the reference tests substring CONTAINMENT of the gene token
+            # (annotation_tookit.py:212 `~frame.qseq.str.contains(max_gene)`),
+            # so ND4 also zero-tolerances ND4L hits — reproduced on purpose.
+            conf = ~sub.qseq.str.contains(max_gene, regex=False)
+            conf = conf.map(lambda x: max_len if x else 0)
+            cutoffs = np.minimum(max_len, sub.send - sub.sstart)
+            cutoffs = np.minimum(cutoffs, conf) * overlap_ratio
+            overlays = np.minimum(sub.send, max_end) - np.maximum(sub.sstart, max_start)
+            sub = sub[overlays <= cutoffs]
+    return pd.concat(results) if results else frame

@@ -1,0 +1,210 @@
+"""Infernal covariance-model (CM) parser.
+
+Loads the reference's tRNA/rRNA models (profile/tRNA_CM/Metazoa_{AA}.cm,
+profile/rRNA_CM/{12s,16s}.cm — INFERNAL1/a text format; see reference
+profile headers) into dense arrays for the CYK op (ops/cyk.py).
+
+File layout: header key/values, a ``CM`` line, then per-node blocks — a
+node line ``[ NODETYPE idx ] mapL mapR consL consR rfL rfR`` followed by
+its state lines
+
+    sttype stid plast pnum cfirst cnum dmin2 dmin1 dmax1 dmax2 \
+        t(0..cnum-1) ... [emissions: 4 for ML/MR/IL/IR, 16 for MP]
+
+terminated by ``//``, followed by an embedded HMMER3/f filter profile
+(also ``//``-terminated) which we parse too — it drives the windowing /
+rRNA search through the same Viterbi engine as nhmmer (ops/phmm.py).
+
+Scores in the file are log2-odds bits (``*`` = -inf). Transitions from a
+normal state v go to states cfirst..cfirst+cnum-1; for B (bifurcation)
+states cfirst/cnum are instead the LEFT and RIGHT child S states.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, TextIO, Tuple
+
+import numpy as np
+
+from . import hmm as hmm_models
+
+NEG = -1e30
+
+# state types
+S, D, MP, ML, MR, IL, IR, B, E = range(9)
+STATE_NAMES = {"S": S, "D": D, "MP": MP, "ML": ML, "MR": MR, "IL": IL, "IR": IR, "B": B, "E": E}
+STATE_STR = {v: k for k, v in STATE_NAMES.items()}
+
+# node types
+NODE_NAMES = ("ROOT", "MATP", "MATL", "MATR", "BIF", "BEGL", "BEGR", "END")
+
+
+@dataclass
+class CmNode:
+    kind: str
+    cons_left: str
+    cons_right: str
+    state_ids: List[int] = field(default_factory=list)
+
+
+@dataclass
+class CovarianceModel:
+    name: str
+    n_states: int
+    n_nodes: int
+    clen: int
+    window: int
+    stype: np.ndarray          # [S] int8 state type codes
+    node_of: np.ndarray        # [S] int32 node index
+    cfirst: np.ndarray         # [S] int32
+    cnum: np.ndarray           # [S] int32
+    trans: np.ndarray          # [S, max_c] float32 bits (NEG pad)
+    emit_pair: np.ndarray      # [S, 16] float32 (MP states; NEG elsewhere)
+    emit_single: np.ndarray    # [S, 4] float32 (ML/MR/IL/IR)
+    nodes: List[CmNode] = field(default_factory=list)
+    filter_hmm: Optional[hmm_models.ProfileHMM] = None
+    stats: Dict[str, tuple] = field(default_factory=dict)
+
+    @property
+    def max_children(self) -> int:
+        return self.trans.shape[1]
+
+    def consensus(self) -> str:
+        """Primary-sequence consensus read off MATL/MATR/MATP nodes in
+        model-coordinate order (left parts first, right parts of pairs and
+        MATR collected on a stack)."""
+        left, right_stack = [], []
+        for nd in self.nodes:
+            if nd.kind == "MATL":
+                left.append(nd.cons_left)
+            elif nd.kind == "MATP":
+                left.append(nd.cons_left)
+                right_stack.append(nd.cons_right)
+            elif nd.kind == "MATR":
+                right_stack.append(nd.cons_right)
+        return "".join(left) + "".join(reversed(right_stack))
+
+
+def _score(tok: str) -> float:
+    return NEG if tok == "*" else float(tok)
+
+
+def parse_cm_text(handle: TextIO) -> List[CovarianceModel]:
+    models: List[CovarianceModel] = []
+    line = handle.readline()
+    while line:
+        if not line.startswith("INFERNAL"):
+            line = handle.readline()
+            continue
+        meta: Dict[str, str] = {}
+        stats: Dict[str, tuple] = {}
+        while True:
+            line = handle.readline()
+            if not line or line.strip() == "CM":
+                break
+            parts = line.split(None, 1)
+            if not parts:
+                continue
+            key, rest = parts[0], (parts[1].strip() if len(parts) > 1 else "")
+            if key.startswith("ECM") or key == "EFP7GF":
+                stats[key] = tuple(float(x) for x in rest.split()[:2])
+            else:
+                meta[key] = rest
+        n_states = int(meta["STATES"])
+        n_nodes = int(meta["NODES"])
+
+        stype = np.zeros(n_states, np.int8)
+        node_of = np.zeros(n_states, np.int32)
+        cfirst = np.full(n_states, -1, np.int32)
+        cnum = np.zeros(n_states, np.int32)
+        trans_rows: List[List[float]] = [[] for _ in range(n_states)]
+        emit_pair = np.full((n_states, 16), NEG, np.float32)
+        emit_single = np.full((n_states, 4), NEG, np.float32)
+        nodes: List[CmNode] = []
+
+        cur_node = -1
+        while True:
+            line = handle.readline()
+            if not line:
+                raise ValueError("unterminated CM section")
+            s = line.strip()
+            if s == "//":
+                break
+            if s.startswith("["):
+                toks = s.replace("[", " ").replace("]", " ").split()
+                kind = toks[0]
+                cur_node = int(toks[1])
+                rest = toks[2:]
+                cons_l = rest[2] if len(rest) > 3 else "-"
+                cons_r = rest[3] if len(rest) > 3 else "-"
+                nodes.append(CmNode(kind, cons_l, cons_r))
+                continue
+            toks = s.split()
+            st = STATE_NAMES[toks[0]]
+            sid = int(toks[1])
+            stype[sid] = st
+            node_of[sid] = cur_node
+            nodes[-1].state_ids.append(sid)
+            cfirst[sid] = int(toks[4])
+            cnum[sid] = int(toks[5])
+            vals = toks[10:]
+            if st == B:
+                n_t, n_e = 0, 0
+            elif st == E:
+                n_t, n_e = 0, 0
+            else:
+                n_t = int(toks[5])
+                n_e = 16 if st == MP else (4 if st in (ML, MR, IL, IR) else 0)
+            trans_rows[sid] = [_score(v) for v in vals[:n_t]]
+            if n_e:
+                em = [_score(v) for v in vals[n_t : n_t + n_e]]
+                if st == MP:
+                    emit_pair[sid] = em
+                else:
+                    emit_single[sid] = em
+
+        max_c = max((len(r) for r in trans_rows), default=1) or 1
+        trans = np.full((n_states, max_c), NEG, np.float32)
+        for i, r in enumerate(trans_rows):
+            trans[i, : len(r)] = r
+
+        # embedded p7 filter HMM follows immediately
+        filter_hmm = None
+        pos = handle.tell()
+        nxt = handle.readline()
+        if nxt.startswith("HMMER3"):
+            handle.seek(pos)
+            parsed = hmm_models.parse_hmm_text(handle)
+            if parsed:
+                filter_hmm = parsed[0]
+        else:
+            handle.seek(pos)
+
+        models.append(
+            CovarianceModel(
+                name=meta.get("NAME", "?"),
+                n_states=n_states,
+                n_nodes=n_nodes,
+                clen=int(meta["CLEN"]),
+                window=int(meta.get("W", meta["CLEN"])),
+                stype=stype,
+                node_of=node_of,
+                cfirst=cfirst,
+                cnum=cnum,
+                trans=trans,
+                emit_pair=emit_pair,
+                emit_single=emit_single,
+                nodes=nodes,
+                filter_hmm=filter_hmm,
+                stats=stats,
+            )
+        )
+        line = handle.readline()
+    return models
+
+
+def load_cm_file(path: str) -> List[CovarianceModel]:
+    with open(path) as f:
+        return parse_cm_text(f)

@@ -238,6 +238,6 @@ def viterbi_scan(
 
 def evalue(score_bits: np.ndarray, mu: float, lam: float, n_targets: float) -> np.ndarray:
     """Gumbel tail: P(S >= x) ~= exp(-lambda * (x - mu)); E = n * P."""
-    z = np.clip(-lam * (np.asarray(score_bits) - mu), -700, 700)
+    z = np.clip(-lam * (np.asarray(score_bits, dtype=np.float64) - mu), -700, 700)
     p = np.exp(z)
     return np.minimum(n_targets * p, n_targets)

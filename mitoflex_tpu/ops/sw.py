@@ -1,0 +1,234 @@
+"""Batched affine-gap local alignment (Smith-Waterman) on device.
+
+One kernel serves every pairwise-alignment consumer of the pipeline, the
+roles the reference delegates to external C tools:
+
+- tblastn/blastn hit scoring (annotation_tookit.py:55-143) — protein mode
+  with BLOSUM62 after six-frame translation, nucleotide mode with
+  match/mismatch rewards;
+- read remapping for depth (findmitoscaf.py:445-456, bwa mem | samtools) —
+  nucleotide mode over candidate windows;
+- contig overlap scoring for merging.
+
+Formulation: lax.scan over target positions; H/E state vectors over
+[batch, query_len] on the VPU. The within-row F (query-axis gap)
+dependency is closed exactly with an exclusive max-plus prefix scan
+(valid when gap_open >= gap_extend — Farrar's lazy-F argument: an H cell
+that is itself F-derived never seeds a better F). Alignment envelopes
+(start/end in query and target) and identity counts are carried through
+the forward pass, so no traceback is needed for hit tables.
+
+Gap convention: a gap of length g costs gap_open + (g-1)*gap_extend (the
+first gapped residue pays `open`). To emulate BLAST's open+g*ext scoring,
+pass gap_open_blast + gap_extend as `gap_open`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -1e30
+
+
+class SwHits(NamedTuple):
+    score: jax.Array    # [B] float32
+    q_from: jax.Array   # [B] int32 0-based inclusive
+    q_to: jax.Array
+    t_from: jax.Array
+    t_to: jax.Array
+    n_ident: jax.Array  # [B] identical positions on the best path
+    n_cols: jax.Array   # [B] aligned columns (match/mismatch+gaps)
+
+
+def nucleotide_matrix(match: int = 2, mismatch: int = -3) -> np.ndarray:
+    """5x5 (ACGTN) scoring matrix; N scores mismatch against everything."""
+    m = np.full((5, 5), mismatch, dtype=np.int32)
+    np.fill_diagonal(m, match)
+    m[4, :] = mismatch
+    m[:, 4] = mismatch
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend"))
+def sw_align(
+    queries: jax.Array,   # [B, Lq] int8 symbol codes
+    q_lens: jax.Array,    # [B]
+    targets: jax.Array,   # [B, Lt] int8
+    t_lens: jax.Array,    # [B]
+    submat: jax.Array,    # [K, K] float32/int32 substitution scores
+    gap_open: float = 11.0,
+    gap_extend: float = 1.0,
+) -> SwHits:
+    B, Lq = queries.shape
+    _, Lt = targets.shape
+    submat = submat.astype(jnp.float32)
+    K = submat.shape[0]
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (B, Lq), 1)
+    q_in = jcol < q_lens[:, None]
+    qc = jnp.clip(queries, 0, K - 1).astype(jnp.int32)
+
+    ext_ramp = gap_extend * jcol.astype(jnp.float32)
+
+    def shift_right(x, fill):
+        return jnp.concatenate(
+            [jnp.full((B, 1), fill, x.dtype), x[:, :-1]], axis=1
+        )
+
+    zero_i = jnp.zeros((B, Lq), jnp.int32)
+    init = dict(
+        H=jnp.zeros((B, Lq)), E=jnp.full((B, Lq), NEG),
+        H_qs=zero_i, H_ts=zero_i, H_id=zero_i, H_nc=zero_i,
+        E_qs=zero_i, E_ts=zero_i, E_id=zero_i, E_nc=zero_i,
+        best=jnp.full((B,), 0.0),
+        b_qf=jnp.zeros((B,), jnp.int32), b_qt=jnp.zeros((B,), jnp.int32),
+        b_tf=jnp.zeros((B,), jnp.int32), b_tt=jnp.zeros((B,), jnp.int32),
+        b_id=jnp.zeros((B,), jnp.int32), b_nc=jnp.zeros((B,), jnp.int32),
+    )
+
+    def step(st, t):
+        x = targets[:, t].astype(jnp.int32)          # [B]
+        t_valid = t < t_lens                          # [B]
+        s = submat[qc, jnp.clip(x, 0, K - 1)[:, None]]  # [B, Lq]
+        valid = jnp.logical_and(q_in, t_valid[:, None])
+        s = jnp.where(valid, s, NEG)
+        is_match = jnp.logical_and(valid, qc == x[:, None])
+
+        # E: gap along target (consume target symbol, stay at q column)
+        e_open = st["H"] - gap_open
+        e_ext = st["E"] - gap_extend
+        take_open = e_open >= e_ext
+        E = jnp.where(take_open, e_open, e_ext)
+        E_qs = jnp.where(take_open, st["H_qs"], st["E_qs"])
+        E_ts = jnp.where(take_open, st["H_ts"], st["E_ts"])
+        E_id = jnp.where(take_open, st["H_id"], st["E_id"])
+        E_nc = jnp.where(take_open, st["H_nc"], st["E_nc"]) + 1
+
+        # diagonal
+        dH = shift_right(st["H"], 0.0)
+        d_qs = shift_right(st["H_qs"], 0)
+        d_ts = shift_right(st["H_ts"], 0)
+        d_id = shift_right(st["H_id"], 0)
+        d_nc = shift_right(st["H_nc"], 0)
+        first_col = jcol == 0
+        # a fresh start is a diagonal move from score 0 at (t, j)
+        diag = jnp.where(first_col, 0.0, dH)
+        diag_qs = jnp.where(jnp.logical_or(first_col, dH <= 0.0), jcol, d_qs)
+        diag_ts = jnp.where(jnp.logical_or(first_col, dH <= 0.0), jnp.int32(t), d_ts)
+        diag_id = jnp.where(jnp.logical_or(first_col, dH <= 0.0), 0, d_id)
+        diag_nc = jnp.where(jnp.logical_or(first_col, dH <= 0.0), 0, d_nc)
+        diag = jnp.maximum(diag, 0.0)
+        cand_d = diag + s
+        cand_d_id = diag_id + is_match.astype(jnp.int32)
+        cand_d_nc = diag_nc + 1
+
+        use_d = cand_d >= E
+        Hp = jnp.where(use_d, cand_d, E)
+        Hp_qs = jnp.where(use_d, diag_qs, E_qs)
+        Hp_ts = jnp.where(use_d, diag_ts, E_ts)
+        Hp_id = jnp.where(use_d, cand_d_id, E_id)
+        Hp_nc = jnp.where(use_d, cand_d_nc, E_nc)
+
+        # F: gap along query axis, exact lazy-F via exclusive prefix max of
+        # a[j] = H'[j] + ext*j
+        a = Hp + ext_ramp
+
+        def comb(l, r):
+            lv, l1, l2, l3, l4 = l
+            rv, r1, r2, r3, r4 = r
+            tl = lv >= rv
+            pick = lambda x, y: jnp.where(tl, x, y)
+            return (pick(lv, rv), pick(l1, r1), pick(l2, r2), pick(l3, r3), pick(l4, r4))
+
+        cm, cm_qs, cm_ts, cm_id, cm_nc = jax.lax.associative_scan(
+            comb, (a, Hp_qs, Hp_ts, Hp_id, Hp_nc), axis=1
+        )
+        cm = shift_right(cm, NEG)
+        F_qs = shift_right(cm_qs, 0)
+        F_ts = shift_right(cm_ts, 0)
+        F_id = shift_right(cm_id, 0)
+        F_nc = shift_right(cm_nc, 0)
+        F = cm - ext_ramp - (gap_open - gap_extend)
+        F_nc = F_nc + 1  # at least one gap column (undercounts long F gaps)
+
+        use_f = F > Hp
+        H = jnp.where(use_f, F, Hp)
+        H_qs = jnp.where(use_f, F_qs, Hp_qs)
+        H_ts = jnp.where(use_f, F_ts, Hp_ts)
+        H_id = jnp.where(use_f, F_id, Hp_id)
+        H_nc = jnp.where(use_f, F_nc, Hp_nc)
+        H = jnp.maximum(H, 0.0)
+        H = jnp.where(valid, H, 0.0)
+
+        # best update (exit anywhere)
+        endj = jnp.argmax(H, axis=1)
+        esc = jnp.take_along_axis(H, endj[:, None], 1)[:, 0]
+        better = esc > st["best"]
+        sel = lambda arr: jnp.take_along_axis(arr, endj[:, None], 1)[:, 0]
+        new = dict(
+            H=H, E=E, H_qs=H_qs, H_ts=H_ts, H_id=H_id, H_nc=H_nc,
+            E_qs=E_qs, E_ts=E_ts, E_id=E_id, E_nc=E_nc,
+            best=jnp.where(better, esc, st["best"]),
+            b_qf=jnp.where(better, sel(H_qs), st["b_qf"]),
+            b_qt=jnp.where(better, endj.astype(jnp.int32), st["b_qt"]),
+            b_tf=jnp.where(better, sel(H_ts), st["b_tf"]),
+            b_tt=jnp.where(better, jnp.int32(t), st["b_tt"]),
+            b_id=jnp.where(better, sel(H_id), st["b_id"]),
+            b_nc=jnp.where(better, sel(H_nc), st["b_nc"]),
+        )
+        return new, None
+
+    st, _ = jax.lax.scan(step, init, jnp.arange(Lt))
+    return SwHits(
+        score=st["best"],
+        q_from=st["b_qf"], q_to=st["b_qt"],
+        t_from=st["b_tf"], t_to=st["b_tt"],
+        n_ident=st["b_id"], n_cols=st["b_nc"],
+    )
+
+
+def sw_align_numpy(query, target, submat, gap_open=11.0, gap_extend=1.0):
+    """Reference implementation (full DP matrix) for tests: returns
+    (score, q_from, q_to, t_from, t_to)."""
+    Lq, Lt = len(query), len(target)
+    H = np.zeros((Lt + 1, Lq + 1))
+    E = np.full((Lt + 1, Lq + 1), NEG)
+    F = np.full((Lt + 1, Lq + 1), NEG)
+    best, at = 0.0, (0, 0)
+    for t in range(1, Lt + 1):
+        for j in range(1, Lq + 1):
+            E[t][j] = max(H[t - 1][j] - gap_open, E[t - 1][j] - gap_extend)
+            F[t][j] = max(H[t][j - 1] - gap_open, F[t][j - 1] - gap_extend)
+            s = submat[query[j - 1], target[t - 1]]
+            H[t][j] = max(0.0, H[t - 1][j - 1] + s, E[t][j], F[t][j])
+            if H[t][j] > best:
+                best, at = H[t][j], (t, j)
+    # traceback for coordinates
+    t, j = at
+    state = "H"
+    while t > 0 and j > 0 and H[t][j] > 0:
+        if state == "H":
+            s = submat[query[j - 1], target[t - 1]]
+            if H[t][j] == H[t - 1][j - 1] + s:
+                t, j = t - 1, j - 1
+                if H[t][j] == 0:
+                    break
+            elif H[t][j] == E[t][j]:
+                state = "E"
+            elif H[t][j] == F[t][j]:
+                state = "F"
+            else:
+                break
+        elif state == "E":
+            if E[t][j] == H[t - 1][j] - gap_open:
+                state = "H"
+            t = t - 1
+        else:
+            if F[t][j] == H[t][j - 1] - gap_open:
+                state = "H"
+            j = j - 1
+    return best, j, at[1] - 1, t, at[0] - 1
