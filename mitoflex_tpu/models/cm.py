@@ -72,19 +72,34 @@ class CovarianceModel:
         return self.trans.shape[1]
 
     def consensus(self) -> str:
-        """Primary-sequence consensus read off MATL/MATR/MATP nodes in
-        model-coordinate order (left parts first, right parts of pairs and
-        MATR collected on a stack)."""
-        left, right_stack = [], []
-        for nd in self.nodes:
-            if nd.kind == "MATL":
-                left.append(nd.cons_left)
-            elif nd.kind == "MATP":
-                left.append(nd.cons_left)
-                right_stack.append(nd.cons_right)
-            elif nd.kind == "MATR":
-                right_stack.append(nd.cons_right)
-        return "".join(left) + "".join(reversed(right_stack))
+        """Primary-sequence consensus in model-coordinate order, emitted by
+        a guide-tree walk (left emission, subtree, right emission; BIF
+        nodes splice their BEGL then BEGR subtrees)."""
+        out: List[str] = []
+
+        def b_children(idx: int) -> Tuple[int, int]:
+            for sid in self.nodes[idx].state_ids:
+                if self.stype[sid] == B:
+                    return int(self.node_of[self.cfirst[sid]]), int(self.node_of[self.cnum[sid]])
+            raise ValueError("BIF node without B state")
+
+        def walk(idx: int) -> None:
+            kind = self.nodes[idx].kind
+            if kind == "END":
+                return
+            if kind == "BIF":
+                l, r = b_children(idx)
+                walk(l)
+                walk(r)
+                return
+            if kind in ("MATL", "MATP"):
+                out.append(self.nodes[idx].cons_left)
+            walk(idx + 1)
+            if kind in ("MATR", "MATP"):
+                out.append(self.nodes[idx].cons_right)
+
+        walk(0)
+        return "".join(out)
 
 
 def _score(tok: str) -> float:
@@ -122,7 +137,11 @@ def parse_cm_text(handle: TextIO) -> List[CovarianceModel]:
         trans_rows: List[List[float]] = [[] for _ in range(n_states)]
         emit_pair = np.full((n_states, 16), NEG, np.float32)
         emit_single = np.full((n_states, 4), NEG, np.float32)
-        nodes: List[CmNode] = []
+        # nodes indexed by their DECLARED number (guide-tree preorder):
+        # the file may lay out bifurcation subtrees in a different order
+        # than the numbering (state ids follow file order, node numbers
+        # follow the tree)
+        nodes: List[CmNode] = [None] * n_nodes  # type: ignore
 
         cur_node = -1
         while True:
@@ -139,14 +158,14 @@ def parse_cm_text(handle: TextIO) -> List[CovarianceModel]:
                 rest = toks[2:]
                 cons_l = rest[2] if len(rest) > 3 else "-"
                 cons_r = rest[3] if len(rest) > 3 else "-"
-                nodes.append(CmNode(kind, cons_l, cons_r))
+                nodes[cur_node] = CmNode(kind, cons_l, cons_r)
                 continue
             toks = s.split()
             st = STATE_NAMES[toks[0]]
             sid = int(toks[1])
             stype[sid] = st
             node_of[sid] = cur_node
-            nodes[-1].state_ids.append(sid)
+            nodes[cur_node].state_ids.append(sid)
             cfirst[sid] = int(toks[4])
             cnum[sid] = int(toks[5])
             vals = toks[10:]

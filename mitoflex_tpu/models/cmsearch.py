@@ -1,0 +1,255 @@
+"""tRNA / rRNA covariance-model search drivers.
+
+Replaces the reference's cmsearch subprocess fan (hot loop #7) and its
+output parsing (annotation_tookit.py trna_search:380-482 /
+rrna_search:485-507, utility/bio/infernal.py):
+
+- each CM's embedded HMMER3 filter profile is scanned on device (both
+  strands, ops/phmm.py) to produce candidate envelopes — Infernal's own
+  pipeline order;
+- tRNA candidates get an exact CYK parse with traceback (ops/cyk.py),
+  whose WUSS fold feeds the reference's anticodon validation walk verbatim
+  (MultiLoop -> hairpins[1], 7-base loop, no gap at positions 2:5,
+  reverse-complement -> amino, annotation_tookit.py:403-446);
+- rRNA search returns the top filter hit per model (coordinates + score,
+  all the pipeline uses);
+- the score-ranked overlap-conflict sweep over tRNA hits is ported
+  faithfully (annotation_tookit.py:443-470).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bio import wuss
+from ..io import encoding
+from ..io.fasta import FastaRecord
+from ..models import cm as cm_models
+from ..models import codon
+from ..ops import cyk as cyk_ops
+from ..ops import phmm as phmm_ops
+from ..utils.logger import logger
+
+
+@dataclass
+class CmHit:
+    """Equivalent of the parsed cmsearch alignment/query entry
+    (utility/bio/infernal.py Result/Query)."""
+
+    sequence: str        # contig id
+    score: float
+    e_value: float
+    seqfrom: int         # 1-based plus-strand coordinates
+    seqto: int
+    plus: bool
+    mdlfrom: int = 1
+    mdlto: int = 0
+    alignment: Optional[wuss.GenericLoop] = None
+    amino: str = ""
+    length: int = 0
+
+    def span(self) -> Tuple[int, int]:
+        return min(self.seqfrom, self.seqto), max(self.seqfrom, self.seqto)
+
+
+def _filter_scan(
+    model: cm_models.CovarianceModel,
+    contigs: Sequence[FastaRecord],
+    e_threshold: float,
+    score_threshold: float = 0.0,
+) -> List[CmHit]:
+    """Scan contigs (both strands) with the CM's embedded p7 filter."""
+    hmm = model.filter_hmm
+    if hmm is None:
+        return []
+    from . import nhmmer
+
+    frame = nhmmer.nhmmer_search(
+        list(contigs), [hmm], e_threshold=e_threshold, score_threshold=score_threshold
+    )
+    hits = []
+    for _, r in frame.iterrows():
+        hits.append(
+            CmHit(
+                sequence=r.target,
+                score=float(r.score),
+                e_value=float(r.e),
+                seqfrom=int(r.alifrom),
+                seqto=int(r.alito),
+                plus=r.strand == "+",
+                mdlfrom=int(r.hmmfrom),
+                mdlto=int(r.hmmto),
+            )
+        )
+    return hits
+
+
+def _cyk_refine(
+    model: cm_models.CovarianceModel,
+    contig: FastaRecord,
+    hit: CmHit,
+    slack: int = 12,
+) -> Optional[CmHit]:
+    """Run exact CYK on a window around the filter envelope; returns the
+    refined hit with alignment structure, or None if CYK rejects."""
+    codes = contig.codes
+    lo, hi = hit.span()
+    lo0, hi0 = lo - 1, hi  # 0-based half open on plus strand
+    if hit.plus:
+        wlo = max(0, lo0 - slack)
+        whi = min(len(codes), hi0 + slack)
+        window = codes[wlo:whi]
+    else:
+        rc = np.asarray(encoding.revcomp(codes))
+        # plus [lo0, hi0) maps to rc [L-hi0, L-lo0)
+        L = len(codes)
+        wlo = max(0, (L - hi0) - slack)
+        whi = min(L, (L - lo0) + slack)
+        window = rc[wlo:whi]
+    if len(window) < 8 or len(window) > 4 * model.window:
+        return None
+    aln = cyk_ops.cyk_align(model, np.asarray(window))
+    # bits threshold: random sequence can fold weakly; Infernal's E<=0.01
+    # at tRNA scale corresponds to roughly >= 10 bits
+    if aln is None or aln.score <= 10.0:
+        return None
+    # map window span back to plus-strand 1-based coordinates
+    if hit.plus:
+        sf = wlo + aln.seq_from + 1
+        st = wlo + aln.seq_to + 1
+    else:
+        L = len(codes)
+        sf = L - (wlo + aln.seq_from)
+        st = L - (wlo + aln.seq_to)
+    fold, seq = wuss.align_fold(aln.aligned_fold, aln.aligned_seq)
+    structure = wuss.GenericLoop(fold, wuss.seq2single(seq))
+    return CmHit(
+        sequence=hit.sequence,
+        score=float(aln.score),
+        e_value=hit.e_value,
+        seqfrom=sf,
+        seqto=st,
+        plus=hit.plus,
+        mdlfrom=aln.mdl_from,
+        mdlto=aln.mdl_to,
+        alignment=structure,
+    )
+
+
+def extract_anticodon(hit: CmHit, gene_code: int) -> Optional[str]:
+    """The reference's anticodon walk (annotation_tookit.py:403-446):
+    center hairpin of the multiloop must have a 7-base loop with no gap at
+    positions 2:5; the amino is the translation of the reverse complement
+    of those three bases."""
+    if hit.alignment is None:
+        return None
+    mains = [x for x in hit.alignment.components if isinstance(x, wuss.MultiLoop)]
+    if not mains:
+        return None
+    hairpins = [x for x in mains[0].components if isinstance(x, wuss.HairpinLoop)]
+    if len(hairpins) < 2:
+        return None
+    center = hairpins[1]
+    if len(center.hairpin.sequence) != 7:
+        return None
+    tri = center.hairpin.to_str()[2:5]
+    if "-" in tri:
+        logger.debug(f"unqualified fold discarded, central hairpin: {center.hairpin.to_str()}")
+        return None
+    codon_nt = encoding.revcomp_str(tri.upper().replace("U", "T"))
+    gc = codon.get_code(gene_code)
+    return gc.forward.get(codon_nt)
+
+
+def trna_search(
+    contigs: Sequence[FastaRecord],
+    trna_models: Dict[str, cm_models.CovarianceModel],
+    gene_code: int = 9,
+    e_value: float = 0.001,
+    overlap_cutoff: int = 40,
+) -> Tuple[Dict[str, CmHit], List[str]]:
+    """Search all 22 tRNA models; returns ({amino[_n]: hit}, missing)."""
+    gene_map_entries: List[CmHit] = []
+    for key, model in trna_models.items():
+        for contig in contigs:
+            for fhit in _filter_scan(model, [contig], e_threshold=max(e_value, 1.0),
+                                     score_threshold=5.0):
+                refined = _cyk_refine(model, contig, fhit)
+                if refined is None:
+                    continue
+                amino = extract_anticodon(refined, gene_code)
+                if amino is None or amino == "*":
+                    continue
+                refined.amino = amino
+                refined.length = abs(refined.seqfrom - refined.seqto)
+                gene_map_entries.append(refined)
+
+    # position-sorted conflict sweep (annotation_tookit.py:437-470):
+    # each hit enters the map twice (both endpoints)
+    gene_map: List[CmHit] = []
+    keyed = []
+    for h in gene_map_entries:
+        keyed.append((h.seqfrom, h))
+        keyed.append((h.seqto, h))
+    keyed.sort(key=lambda x: x[0])
+    gene_map = [x[1] for x in keyed]
+
+    def overlapped(mapping: List[CmHit]) -> bool:
+        for a, b in zip(mapping, mapping[1:]):
+            dist = max(a.seqfrom, a.seqto) - min(b.seqfrom, b.seqto)
+            if a is not b and dist >= overlap_cutoff and (
+                dist <= a.length or dist <= b.length
+            ):
+                loser = b if a.score >= b.score else a
+                logger.debug(
+                    f"tRNA conflict {a.amino} vs {b.amino}: removing "
+                    f"{loser.amino} (scores {a.score:.1f}/{b.score:.1f}, overlap {dist})"
+                )
+                while loser in mapping:
+                    mapping.remove(loser)
+                return True
+        return False
+
+    while overlapped(gene_map):
+        pass
+
+    uniq: List[CmHit] = []
+    for h in gene_map:
+        if h not in uniq:
+            uniq.append(h)
+
+    query_dict: Dict[str, CmHit] = {}
+    for hit in uniq:
+        if hit.amino not in query_dict:
+            query_dict[hit.amino] = hit
+        else:
+            n = sum(x.startswith(hit.amino) for x in query_dict) + 1
+            query_dict[f"{hit.amino}{n}"] = hit
+
+    gc = codon.get_code(gene_code)
+    present_aminos = {a for a in gc.forward.values() if a != "*"}
+    missing = sorted(a for a in present_aminos if a not in query_dict)
+    return query_dict, missing
+
+
+def rrna_search(
+    contigs: Sequence[FastaRecord],
+    rrna_models: Dict[str, cm_models.CovarianceModel],
+    e_value: float = 0.01,
+) -> Tuple[Optional[CmHit], Optional[CmHit]]:
+    """Top hit for 12s and 16s (annotation_tookit.py:485-507)."""
+
+    def top(model_key: str) -> Optional[CmHit]:
+        model = rrna_models.get(model_key)
+        if model is None:
+            return None
+        hits = _filter_scan(model, contigs, e_threshold=e_value, score_threshold=15.0)
+        if not hits:
+            return None
+        return max(hits, key=lambda h: h.score)
+
+    return top("12s"), top("16s")

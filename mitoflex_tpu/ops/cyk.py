@@ -1,0 +1,388 @@
+"""Covariance-model CYK alignment (cmsearch equivalent, tRNA scale).
+
+Replaces Infernal ``cmsearch`` for the tRNA models (reference hot loop #7:
+annotation_tookit.py:380-482 runs cmsearch per 22 CMs and parses the WUSS
+fold of each alignment). Two-stage search like Infernal's own pipeline:
+
+1. the CM's embedded HMMER3 filter profile (models/cm.py) is scanned with
+   the device Viterbi engine (ops/phmm.py) to find candidate windows —
+   this is the data-volume stage and runs on TPU;
+2. candidate windows (tRNA scale: <= 128 nt, ~200 states) get an exact
+   CYK parse with traceback, vectorized over [i, j] span matrices per
+   state (host numpy; small, cold path). The traceback emits the aligned
+   sequence and a WUSS fold string derived from the model's guide tree, so
+   the downstream anticodon logic can run the same structure walk as the
+   reference (bio/wuss.py).
+
+The rRNA models (CLEN ~1000-3000) skip stage 2: the pipeline only needs
+coordinates + scores for rRNAs (annotation_tookit.py:485-507), which the
+filter-HMM scan provides.
+
+CYK formulation: alpha[v][i][j] = best log-odds (bits) of state v's
+subtree generating window span [i, j) —
+
+    E:  0 on the diagonal;            S/D: pure transition max;
+    ML: emit x_i, span shrinks left;  MR: emit x_{j-1}, shrinks right;
+    MP: emit pair (x_i, x_{j-1});     IL/IR: self-loops solved by a
+    linear sweep along i (resp. j);   B: max-plus product over the split.
+
+States are processed in decreasing index (children always have larger
+indices in the Infernal numbering).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..models import cm as cm_models
+from ..models.cm import B, D, E, IL, IR, ML, MP, MR, S
+
+NEG = -1e30
+
+
+# ------------------------------------------------------- consensus layout
+@dataclass
+class ConsensusLayout:
+    cons: str                  # consensus residues, model coords 0..clen-1
+    wuss: str                  # consensus structure, same coords
+    node_of_pos: List[int]     # node index per consensus position
+    side_of_pos: List[str]     # 'L' | 'R'
+    pos_of_node: Dict[Tuple[int, str], int]
+
+
+def consensus_layout(model: cm_models.CovarianceModel) -> ConsensusLayout:
+    """Emit consensus positions in guide-tree order and classify each into
+    WUSS characters (pairs bracketed by bifurcation depth; unpaired by
+    enclosing-loop type)."""
+    nodes = model.nodes
+
+    def b_children(node_idx: int) -> Tuple[int, int]:
+        for sid in nodes[node_idx].state_ids:
+            if model.stype[sid] == B:
+                left = int(model.node_of[model.cfirst[sid]])
+                right = int(model.node_of[model.cnum[sid]])
+                return left, right
+        raise ValueError("BIF node without B state")
+
+    out: List[Tuple[int, str]] = []          # (node, side)
+    pair_nodes: List[int] = []
+
+    def walk(idx: int) -> None:
+        kind = nodes[idx].kind
+        if kind == "END":
+            return
+        if kind == "BIF":
+            l, r = b_children(idx)
+            walk(l)
+            walk(r)
+            return
+        if kind in ("MATL", "MATP"):
+            out.append((idx, "L"))
+        walk(idx + 1)
+        if kind in ("MATR", "MATP"):
+            out.append((idx, "R"))
+        if kind == "MATP":
+            pair_nodes.append(idx)
+
+    walk(0)
+
+    pos_of_node = {(n, s): i for i, (n, s) in enumerate(out)}
+    clen = len(out)
+    wuss = [""] * clen
+    pairs = sorted(
+        (pos_of_node[(n, "L")], pos_of_node[(n, "R")]) for n in pair_nodes
+    )
+    # WUSS bracket level: a stem with no nested stems is a hairpin stem
+    # '<>'; exactly one direct child keeps the child's level (interior
+    # loop/bulge); >= 2 direct children (a multiloop) steps the level up.
+    level: Dict[Tuple[int, int], int] = {}
+
+    def pair_level(p: Tuple[int, int]) -> int:
+        if p in level:
+            return level[p]
+        l0, r0 = p
+        inner = [(l, r) for l, r in pairs if l0 < l and r < r0]
+        direct = [
+            (l, r) for l, r in inner
+            if not any(l2 < l and r < r2 for l2, r2 in inner if (l2, r2) != (l, r))
+        ]
+        if not direct:
+            lv = 0
+        elif len(direct) == 1:
+            lv = pair_level(direct[0])
+        else:
+            lv = max(pair_level(c) for c in direct) + 1
+        level[p] = lv
+        return lv
+
+    brackets = ["<>", "()", "[]", "{}"]
+    for p in pairs:
+        b = brackets[min(pair_level(p), 3)]
+        wuss[p[0]], wuss[p[1]] = b[0], b[1]
+
+    # unpaired classification by innermost enclosing pair
+    pairs.sort()
+    for i in range(clen):
+        if wuss[i]:
+            continue
+        enclosing = [(l, r) for l, r in pairs if l < i < r]
+        if not enclosing:
+            wuss[i] = ":"
+            continue
+        l0, r0 = max(enclosing, key=lambda p: p[0])
+        inner = [(l, r) for l, r in pairs if l0 < l and r < r0]
+        # direct children of (l0, r0): inner pairs not nested in other inner
+        direct = [
+            (l, r) for l, r in inner
+            if not any(l2 < l and r < r2 for l2, r2 in inner if (l2, r2) != (l, r))
+        ]
+        if not direct:
+            wuss[i] = "_"
+        elif len(direct) == 1:
+            wuss[i] = "-"
+        else:
+            wuss[i] = ","
+    cons = []
+    for n, s in out:
+        nd = nodes[n]
+        cons.append(nd.cons_left if s == "L" else nd.cons_right)
+    return ConsensusLayout(
+        cons="".join(cons),
+        wuss="".join(wuss),
+        node_of_pos=[n for n, _ in out],
+        side_of_pos=[s for _, s in out],
+        pos_of_node=pos_of_node,
+    )
+
+
+# ---------------------------------------------------------------- CYK DP
+@dataclass
+class CykAlignment:
+    score: float
+    seq_from: int              # 0-based window coords, inclusive
+    seq_to: int
+    aligned_seq: str           # over consensus positions (+ inserts)
+    aligned_fold: str
+    mdl_from: int              # 1-based consensus coords
+    mdl_to: int
+    residue_of_pos: Dict[int, int]  # consensus pos -> window index (matches)
+
+
+def _emit_single_scores(model, window):
+    """esc[v, t] for single-emitting states over window residues."""
+    S_, L = model.n_states, len(window)
+    esc = np.full((S_, L), NEG, np.float32)
+    ok = window < 4
+    idx = np.clip(window, 0, 3)
+    for v in range(S_):
+        st = model.stype[v]
+        if st in (ML, MR, IL, IR):
+            esc[v, ok] = model.emit_single[v, idx[ok]]
+    return esc
+
+
+def cyk_align(model: cm_models.CovarianceModel, window: np.ndarray) -> Optional[CykAlignment]:
+    """Exact CYK over a window (base codes). Returns the best local-span
+    alignment or None if nothing scores above NEG/2."""
+    L = len(window)
+    Sn = model.n_states
+    esc = _emit_single_scores(model, window)
+    ok = window < 4
+    widx = np.clip(window, 0, 3)
+
+    alpha = np.full((Sn, L + 1, L + 1), NEG, np.float32)
+    iu = np.triu_indices(L + 1)  # valid spans i <= j
+
+    stype = model.stype
+    cfirst = model.cfirst
+    cnum = model.cnum
+    trans = model.trans
+
+    def children(v):
+        return list(range(cfirst[v], cfirst[v] + cnum[v]))
+
+    for v in range(Sn - 1, -1, -1):
+        st = stype[v]
+        if st == E:
+            a = np.full((L + 1, L + 1), NEG, np.float32)
+            np.fill_diagonal(a, 0.0)
+            alpha[v] = a
+            continue
+        if st == B:
+            al, ar = alpha[int(cfirst[v])], alpha[int(cnum[v])]
+            # max-plus product over the split point
+            a = (al[:, :, None] + ar[None, :, :]).max(axis=1)
+            alpha[v] = a
+            continue
+        kids = children(v)
+        ts = trans[v]
+        base = np.full((L + 1, L + 1), NEG, np.float32)
+        self_t = None
+        for ci, c in enumerate(kids):
+            if c == v:
+                self_t = float(ts[ci])
+                continue
+            if st in (S, D):
+                cand = alpha[c] + ts[ci]
+            elif st in (ML, IL):
+                cand = np.full((L + 1, L + 1), NEG, np.float32)
+                cand[:L, :] = alpha[c][1:, :] + ts[ci]
+            elif st in (MR, IR):
+                cand = np.full((L + 1, L + 1), NEG, np.float32)
+                cand[:, 1:] = alpha[c][:, :L] + ts[ci]
+            elif st == MP:
+                cand = np.full((L + 1, L + 1), NEG, np.float32)
+                cand[:L, 1:] = alpha[c][1:, :L] + ts[ci]
+            np.maximum(base, cand, out=base)
+        # add emissions
+        if st in (ML, IL):
+            em = np.full((L + 1, 1), NEG, np.float32)
+            em[:L, 0] = esc[v]
+            base = base + em
+        elif st in (MR, IR):
+            em = np.full((1, L + 1), NEG, np.float32)
+            em[0, 1:] = esc[v]
+            base = base + em
+        elif st == MP:
+            em = np.full((L + 1, L + 1), NEG, np.float32)
+            pair_scores = model.emit_pair[v].reshape(4, 4)
+            for i in range(L):
+                if not ok[i]:
+                    continue
+                js = np.arange(1, L + 1)
+                valid_j = ok[js - 1]
+                em[i, js[valid_j]] = pair_scores[widx[i], widx[js[valid_j] - 1]]
+            base = base + em
+        # self loops (IL along i descending, IR along j ascending)
+        if self_t is not None:
+            if st == IL:
+                for i in range(L - 1, -1, -1):
+                    cand = esc[v, i] + self_t + base[i + 1, :]
+                    base[i, :] = np.maximum(base[i, :], cand)
+            elif st == IR:
+                for j in range(1, L + 1):
+                    cand = esc[v, j - 1] + self_t + base[:, j - 1]
+                    base[:, j] = np.maximum(base[:, j], cand)
+        np.clip(base, NEG, None, out=base)
+        alpha[v] = base
+
+    root = alpha[0]
+    flat = np.argmax(root)
+    bi, bj = divmod(int(flat), L + 1)
+    best = float(root[bi, bj])
+    if best < NEG / 2 or bj <= bi:
+        return None
+
+    # ------------------------------------------------------- traceback
+    layout = consensus_layout(model)
+    residue_of_pos: Dict[int, int] = {}
+    deleted: set = set()
+    inserts: Dict[int, List[int]] = {}  # after-consensus-pos -> window idxs
+
+    def emit_insert(v, t):
+        node = int(model.node_of[v])
+        # anchor inserts after the nearest consensus position of this node
+        anchor = layout.pos_of_node.get((node, "L"), layout.pos_of_node.get((node, "R"), -1))
+        inserts.setdefault(anchor, []).append(t)
+
+    stack = [(0, bi, bj)]
+    guard = 0
+    while stack:
+        guard += 1
+        if guard > 100000:
+            break
+        v, i, j = stack.pop()
+        st = stype[v]
+        cur = alpha[v][i, j]
+        if st == E:
+            continue
+        if st == B:
+            al, ar = alpha[int(cfirst[v])], alpha[int(cnum[v])]
+            k = int(np.argmax(al[i, :] + ar[:, j]))
+            stack.append((int(cfirst[v]), i, k))
+            stack.append((int(cnum[v]), k, j))
+            continue
+        kids = children(v)
+        ts = trans[v]
+        found = False
+        node = int(model.node_of[v])
+        for ci, c in enumerate(kids):
+            if st in (S, D):
+                val = alpha[c][i, j] + ts[ci]
+                ni, nj = i, j
+                emit = None
+            elif st in (ML, IL):
+                if i >= L or i >= j:
+                    continue
+                val = esc[v, i] + ts[ci] + (alpha[c][i + 1, j] if c != v else NEG)
+                if c == v:
+                    val = esc[v, i] + ts[ci] + alpha[v][i + 1, j]
+                ni, nj = i + 1, j
+                emit = ("L", i)
+            elif st in (MR, IR):
+                if j <= i or j - 1 < 0:
+                    continue
+                val = esc[v, j - 1] + ts[ci] + alpha[c][i, j - 1]
+                ni, nj = i, j - 1
+                emit = ("R", j - 1)
+            elif st == MP:
+                if j - i < 2:
+                    continue
+                pe = model.emit_pair[v].reshape(4, 4)
+                if not (ok[i] and ok[j - 1]):
+                    continue
+                val = pe[widx[i], widx[j - 1]] + ts[ci] + alpha[c][i + 1, j - 1]
+                ni, nj = i + 1, j - 1
+                emit = ("P", (i, j - 1))
+            else:
+                continue
+            if abs(val - cur) < 1e-3:
+                if st == MP:
+                    residue_of_pos[layout.pos_of_node[(node, "L")]] = emit[1][0]
+                    residue_of_pos[layout.pos_of_node[(node, "R")]] = emit[1][1]
+                elif st == ML:
+                    residue_of_pos[layout.pos_of_node[(node, "L")]] = emit[1]
+                elif st == MR:
+                    residue_of_pos[layout.pos_of_node[(node, "R")]] = emit[1]
+                elif st in (IL, IR):
+                    emit_insert(v, emit[1])
+                elif st == D:
+                    key = (node, "L") if (node, "L") in layout.pos_of_node else (node, "R")
+                    if stype[v] == D and key in layout.pos_of_node:
+                        deleted.add(layout.pos_of_node[key])
+                stack.append((c, ni, nj))
+                found = True
+                break
+        if not found:
+            # numeric mismatch; stop cleanly
+            continue
+
+    # D states in MATP nodes delete one or both sides; approximate: any
+    # consensus position with no residue is a deletion
+    decode = "ACGTN"
+    seq_chars: List[str] = []
+    fold_chars: List[str] = []
+    for p in range(len(layout.cons)):
+        r = residue_of_pos.get(p)
+        seq_chars.append(decode[int(window[r])] if r is not None else "-")
+        fold_chars.append(layout.wuss[p])
+        for t in sorted(inserts.get(p, [])):
+            seq_chars.append(decode[int(window[t])].lower())
+            fold_chars.append(".")
+
+    touched = [p for p in residue_of_pos]
+    mdl_from = min(touched) + 1 if touched else 1
+    mdl_to = max(touched) + 1 if touched else len(layout.cons)
+    return CykAlignment(
+        score=best,
+        seq_from=bi,
+        seq_to=bj - 1,
+        aligned_seq="".join(seq_chars),
+        aligned_fold="".join(fold_chars),
+        mdl_from=mdl_from,
+        mdl_to=mdl_to,
+        residue_of_pos=residue_of_pos,
+    )

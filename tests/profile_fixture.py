@@ -30,10 +30,19 @@ class FakeMito:
     table_id: int = 5
 
 
-def build(tmp_path, rng, clade="Testa", spacer=120) -> FakeMito:
+REF_PROFILE = "/root/reference/profile"
+
+
+def build(tmp_path, rng, clade="Testa", spacer=120, link_rna=False) -> FakeMito:
     pdir = str(tmp_path / "profile")
     os.makedirs(os.path.join(pdir, "CDS_HMM"), exist_ok=True)
     os.makedirs(os.path.join(pdir, "MT_database"), exist_ok=True)
+    if link_rna and os.path.isdir(REF_PROFILE):
+        for d in ("tRNA_CM", "rRNA_CM"):
+            src = os.path.join(REF_PROFILE, d)
+            dst = os.path.join(pdir, d)
+            if os.path.isdir(src) and not os.path.exists(dst):
+                os.symlink(src, dst)
     gc = codon.get_code(5)
 
     gene_nt: Dict[str, str] = {}

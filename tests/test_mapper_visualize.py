@@ -1,0 +1,103 @@
+import os
+
+import numpy as np
+import pytest
+
+from mitoflex_tpu.bio import circos as circos_dsl
+from mitoflex_tpu.config import VisualizeConfig
+from mitoflex_tpu.io import encoding
+from mitoflex_tpu.io.fasta import FastaRecord
+from mitoflex_tpu.ops import mapper
+from mitoflex_tpu.stages import visualize as vis
+from tests import synth
+
+
+def _batchify(reads, max_len=128):
+    from mitoflex_tpu.io.fastq import ReadBatch
+
+    n = len(reads)
+    seqs = np.full((n, max_len), 4, np.int8)
+    lens = np.zeros(n, np.int32)
+    for i, r in enumerate(reads):
+        seqs[i, : len(r)] = encoding.encode(r)
+        lens[i] = len(r)
+    return ReadBatch(seqs, np.zeros_like(seqs), lens, n)
+
+
+def test_mapper_places_reads(rng):
+    g = synth.random_genome(rng, 3000)
+    contig = FastaRecord("c1", g)
+    reads = [g[i : i + 100] for i in range(0, 2000, 50)]
+    rc_reads = [encoding.revcomp_str(g[i : i + 100]) for i in range(2000, 2800, 50)]
+    junk = [synth.random_genome(rng, 100) for _ in range(10)]
+    batch = _batchify(reads + rc_reads + junk)
+    idx = mapper.ContigIndex.build([contig])
+    m = mapper.map_batch(idx, batch.seqs, batch.lengths)
+    n_fwd = len(reads)
+    assert (m.contig[:n_fwd] == 0).all()
+    np.testing.assert_array_equal(m.pos[:n_fwd], np.arange(0, 2000, 50))
+    assert (m.strand[:n_fwd] == 1).all()
+    n_rc = len(rc_reads)
+    assert (m.contig[n_fwd : n_fwd + n_rc] == 0).all()
+    assert (m.strand[n_fwd : n_fwd + n_rc] == -1).all()
+    # random junk should not map
+    assert (m.contig[n_fwd + n_rc :] == -1).all()
+
+
+def test_coverage_means(rng):
+    g = synth.random_genome(rng, 1000)
+    contig = FastaRecord("c1", g)
+    reads = [g[i : i + 100] for i in range(0, 900, 10)]  # ~10x over most
+    batch = _batchify(reads)
+    depth, means, n_mapped, n_total = mapper.coverage_of_reads([contig], [batch])
+    assert n_mapped == len(reads)
+    assert 7 < means["c1"] < 11
+    assert depth[0][500] >= 9
+
+
+def test_circos_dsl():
+    c = circos_dsl.Circos()
+    c.ideogram.spacing.default = "0.01r"
+    c.image.radius = "1500p"
+    c.plot_.type = "histogram"
+    c.plot__.type = "line"
+    text = circos_dsl.circos_text(c)
+    assert "<ideogram>" in text and "default = 0.01r" in text
+    assert text.count("<plot>") == 2
+    d = c.collapse()
+    assert d["ideogram"]["spacing"]["default"] == "0.01r"
+    # auto-vivified but unset nodes don't appear
+    _ = c.some.deep.node
+    assert "some" not in c.collapse()
+
+
+def test_visualize_renders(tmp_path, rng):
+    g = synth.random_genome(rng, 2000)
+    rec = FastaRecord("scaffold1", g, {"flag": 1, "multi": 100, "len": 2000})
+    locs = {
+        "COX1": (100, 500, 0, "scaffold1", "+"),
+        "ND1": (600, 900, 0, "scaffold1", "-"),
+        "trnK": (950, 1020, 1, "scaffold1", "+"),
+        "rrnS": (1100, 1700, 2, "scaffold1", "+"),
+    }
+    reads = [(g[i : i + 100], "I" * 100) for i in range(0, 1900, 40)]
+    fq = synth.write_fastq(tmp_path / "r.fq", reads)
+    outs = vis.visualize(
+        VisualizeConfig(), [rec], locs, str(tmp_path / "plot"), fastq1=fq
+    )
+    assert os.path.exists(tmp_path / "plot.png")
+    assert os.path.exists(tmp_path / "plot.svg")
+    assert os.path.exists(tmp_path / "plot.tracks.json")
+    assert os.path.exists(tmp_path / "plot.circos.conf")
+    import json
+
+    tracks = json.load(open(tmp_path / "plot.tracks.json"))
+    assert tracks["karyotype"][0]["id"] == "mt1"
+    assert len(tracks["genes"]) == 4
+    assert tracks["depth_mean"]["mt1"] > 1.5
+
+
+def test_gc_windows():
+    codes = encoding.encode("GGGG" + "AAAA" + "GGCC" + "ATAT")
+    gc = vis.gc_windows(codes, 4)
+    np.testing.assert_allclose(gc, [1.0, 0.0, 1.0, 0.0])
