@@ -200,7 +200,10 @@ class PipelineConfig:
             problems.append("all k-mer lengths must be odd")
         if sorted(a.kmer_list) != a.kmer_list:
             a.kmer_list = sorted(a.kmer_list)
-        if len(a.depth_list) not in (0, len(a.kmer_list)):
+        if len(a.depth_list) > len(a.kmer_list):
+            # shrinking the k list keeps the paired prefix of depth gates
+            a.depth_list = a.depth_list[: len(a.kmer_list)]
+        elif 0 < len(a.depth_list) < len(a.kmer_list):
             problems.append("depth_list must be empty or match kmer_list length")
         if a.prune_depth < 0:
             problems.append("prune depth lower than 0")

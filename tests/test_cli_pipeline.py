@@ -1,0 +1,133 @@
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mitoflex_tpu.io import encoding, fasta
+from tests import profile_fixture, synth
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """Synthetic raw PE dataset: circular fake mitogenome at high depth +
+    nuclear background at low depth + junk reads."""
+    rng = np.random.default_rng(77)
+    base = tmp_path_factory.mktemp("ds")
+    fake = profile_fixture.build(base, rng)
+    comp = str.maketrans("ACGT", "TGCA")
+    nuclear = synth.random_genome(rng, 3500)
+
+    def pe(g, n, circ):
+        g2 = g + g[:400] if circ else g
+        out = []
+        for _ in range(n):
+            s = rng.integers(0, len(g2) - 300)
+            frag = g2[s : s + 300]
+            out.append((frag[:100], frag[-100:].translate(comp)[::-1]))
+        return out
+
+    pairs = pe(fake.genome, 1400, True) + pe(nuclear, 260, False)
+    junk = [("N" * 100, "N" * 100)] * 20
+    f1, f2 = str(base / "r1.fq"), str(base / "r2.fq")
+    with open(f1, "w") as a, open(f2, "w") as b:
+        for i, (x, y) in enumerate(pairs + junk):
+            q = "I" * 100 if i < len(pairs) else "#" * 100
+            a.write(f"@p{i}/1\n{x}\n+\n{q}\n")
+            b.write(f"@p{i}/2\n{y}\n+\n{q}\n")
+    return fake, f1, f2, str(base)
+
+
+def _run_cli(args, cwd):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    return subprocess.run(
+        [sys.executable, "-m", "mitoflex_tpu", *args],
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=900,
+    )
+
+
+def test_cli_load_modules(tmp_path):
+    r = _run_cli(["load_modules"], str(tmp_path))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "All modules loaded." in r.stdout
+
+
+def test_cli_generate_config(tmp_path):
+    r = _run_cli(["all", "--fastq1", "x.fq", "--clade", "Testa",
+                  "--kmer-list", "21,41", "--generate-config", "conf.py"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    text = open(tmp_path / "conf.py").read()
+    assert "'clade': 'Testa'" in text
+    assert "[21, 41]" in text
+
+
+def test_cli_rejects_bad_config(tmp_path):
+    r = _run_cli(["all", "--fastq1", "x.fq", "--kmer-list", "20,40"], str(tmp_path))
+    assert r.returncode == 2
+    assert "odd" in r.stderr
+
+
+def test_cli_all_end_to_end(dataset, tmp_path):
+    fake, f1, f2, _ = dataset
+    r = _run_cli(
+        [
+            "all", "--fastq1", f1, "--fastq2", f2,
+            "--workname", "testrun",
+            "--clade", fake.clade,
+            "--profile-dir", fake.profile_dir,
+            "--kmer-list", "21,41", "--depth-list", "5,5",
+            "--min-abundance", "10",
+            "--disable-taxa", "--keep-temp",
+            "--genetic-code", "5",
+        ],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-3000:]
+    result_dir = tmp_path / "testrun" / "testrun.result"
+    picked = fasta.load_fasta(str(result_dir / "picked.fa"))
+    assert len(picked) >= 1
+    best = max(picked, key=lambda p: len(p.seq))
+    dbl = fake.genome + fake.genome
+    rc = encoding.revcomp_str(best.seq)
+    assert best.seq in dbl or rc in dbl
+    locs = json.load(open(result_dir / "locs.json"))
+    pcgs = {g for g, v in locs.items() if v[2] == 0}
+    assert pcgs >= set(profile_fixture.GENES)
+    pngs = list(result_dir.glob("*.png"))
+    assert pngs and pngs[0].stat().st_size > 10000
+    # log file written
+    assert (tmp_path / "testrun" / "testrun.log").exists()
+
+
+def test_scaffold_joins_contigs(tmp_path, rng):
+    from mitoflex_tpu.config import AssembleConfig
+    from mitoflex_tpu.stages.scaffold import scaffold_contigs
+
+    g = synth.random_genome(rng, 4000)
+    # two contigs with a 150 bp unassembled gap
+    c1, c2 = g[:1900], g[2050:]
+    contigs = str(tmp_path / "contigs.fa")
+    fasta.write_fasta(
+        [fasta.FastaRecord("c1", c1, {"flag": 0, "multi": 40, "len": len(c1)}),
+         fasta.FastaRecord("c2", c2, {"flag": 0, "multi": 40, "len": len(c2)})],
+        contigs,
+    )
+    pairs = synth.shotgun_reads(rng, g, 1200, read_len=100, insert=300)
+    f1 = synth.write_fastq(tmp_path / "s1.fq", [p[0] for p in pairs])
+    f2 = synth.write_fastq(tmp_path / "s2.fq", [p[1] for p in pairs])
+    out = str(tmp_path / "scaffolds.fa")
+    scaffold_contigs(AssembleConfig(insert_size=300), contigs, f1, f2, out)
+    scaffolds = fasta.load_fasta(out)
+    assert len(scaffolds) == 1
+    s = scaffolds[0]
+    assert s.id.startswith("scaffold_")
+    assert s.multi == 32767
+    assert len(s.seq) >= 3900
+    # both contig sequences present in order (possibly rc of whole)
+    fwd = s.seq
+    rc = encoding.revcomp_str(s.seq)
+    assert (c1 in fwd and c2 in fwd) or (
+        encoding.revcomp_str(c1) in rc or c1 in rc
+    )

@@ -1,0 +1,59 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mitoflex_tpu.ops import filter as filter_ops
+from mitoflex_tpu.ops import kmer as kmer_ops
+from mitoflex_tpu.parallel import mesh as mesh_mod
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return mesh_mod.make_mesh((8,), ("data",))
+
+
+def _batch(rng, B=64, L=128):
+    seqs = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    quals = rng.integers(60, 74, size=(B, L)).astype(np.int8)
+    lengths = rng.integers(32, L + 1, size=B).astype(np.int32)
+    return seqs, quals, lengths
+
+
+def test_sharded_filter_matches_single(mesh8, rng):
+    seqs, quals, lengths = _batch(rng)
+    ds, dq, dl = mesh_mod.shard_batch(
+        mesh8, jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths)
+    )
+    keep_s, h1_s, h2_s = mesh_mod.filter_reads_sharded(mesh8, ds, dq, dl)
+    keep, h1, h2 = filter_ops.filter_reads_ref(seqs, quals, lengths, 10, 55, 0.2)
+    np.testing.assert_array_equal(np.asarray(keep_s), np.asarray(keep))
+    np.testing.assert_array_equal(np.asarray(h1_s), np.asarray(h1))
+
+
+def test_sharded_kmer_count_matches_single(mesh8, rng):
+    seqs, _, lengths = _batch(rng, B=64, L=96)
+    k = 21
+    ds, dl = mesh_mod.shard_batch(mesh8, jnp.asarray(seqs), jnp.asarray(lengths))
+    words_s, counts_s, n_s = mesh_mod.count_kmers_sharded(mesh8, ds, dl, k)
+    n_s = int(n_s)
+    uw, uc, nu = kmer_ops.count_chunk(jnp.asarray(seqs), jnp.asarray(lengths), k)
+    nu = int(nu)
+    assert n_s == nu
+    got = kmer_ops.words_to_np_keys([np.asarray(w)[:n_s] for w in words_s])
+    want = kmer_ops.words_to_np_keys([np.asarray(w)[:nu] for w in uw])
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(
+        np.asarray(counts_s)[:n_s], np.asarray(uc)[:nu]
+    )
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.asarray(out.score).shape == (64,)
+    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(2)
