@@ -82,7 +82,10 @@ def _try_native_batches(path, batch_reads, max_read_len, keep_names, limit_bases
     try:
         from ..native import fastq_native
 
-        if fastq_native.available() and not keep_names and not path.endswith(".gz"):
+        # the C++ reader handles plain and gzip input but does not retain
+        # read names (writers synthesize them), so it only serves the
+        # name-free consumers (assembly, mapping)
+        if fastq_native.available() and not keep_names:
             return fastq_native.read_batches(path, batch_reads, max_read_len, limit_bases)
     except Exception:
         pass
