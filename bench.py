@@ -2,12 +2,15 @@
 
 Metric: read-filter device throughput in bases/second on one chip (the
 BASELINE "filter-only" config; the reference filters 5 Gbp in ~5 minutes
-on 8 CPU threads — configurations.py:45-48 notes the 5-minute plain-output
-filter stage — i.e. ~16.7 Mbp/s; vs_baseline is measured against that).
+on 8 CPU threads — configurations.py:45-48 — i.e. ~16.7 Mbp/s;
+vs_baseline is measured against that).
 
-Runs on whatever backend JAX resolves (the driver provides the real TPU
-chip); excludes compile time via warmup and amortizes dispatch over a
-block of batches.
+Measurement method: the kernel runs inside a device-side fori_loop with a
+per-iteration input perturbation (xor with the loop counter) and the loop
+result is reduced to one scalar that is read back to the host. This makes
+the timing robust against async dispatch, remote-execution result caching,
+and loop-invariant hoisting — the wall clock covers exactly `iters` real
+kernel executions plus one dispatch+readback.
 """
 
 from __future__ import annotations
@@ -31,27 +34,43 @@ def main() -> int:
     backend = jax.default_backend()
     B, L = 65536, 256
     rng = np.random.default_rng(0)
-    seqs = rng.integers(0, 5, size=(B, L)).astype(np.int8)
+    seqs = rng.integers(0, 4, size=(B, L)).astype(np.int8)
     quals = rng.integers(35, 74, size=(B, L)).astype(np.int8)
     lengths = rng.integers(200, L + 1, size=B).astype(np.int32)
     ds, dq, dl = jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths)
 
-    if backend == "tpu":
-        run = lambda: filter_ops.filter_reads_pallas(ds, dq, dl, 10, 55, 0.2)
-    else:
-        run = lambda: filter_ops.filter_reads_ref(ds, dq, dl, 10, 55, 0.2)
+    kernel = (
+        filter_ops.filter_reads_pallas if backend == "tpu" else filter_ops.filter_reads_ref
+    )
 
+    def loop(iters):
+        @jax.jit
+        def run(s, q, l):
+            def body(i, acc):
+                # perturb the input so no iteration can be cached or hoisted
+                s2 = s ^ (i & 3).astype(jnp.int8)
+                keep, h1, _ = kernel(s2, q, l, 10, 55, 0.2)
+                return acc + jnp.sum(keep.astype(jnp.int32)) + h1[0].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        return run
+
+    run_1 = loop(1)
+    iters = 50
+    run_n = loop(iters)
     # warmup / compile
-    for _ in range(3):
-        jax.block_until_ready(run())
-    # timed
-    iters = 30
+    int(run_1(ds, dq, dl))
+    int(run_n(ds, dq, dl))
+    # calibrate: measure 1 vs N to subtract dispatch+readback overhead
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    bases_per_sec = B * L / dt
+    int(run_1(ds, dq, dl))
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    int(run_n(ds, dq, dl))
+    t_n = time.perf_counter() - t0
+    per_iter = max((t_n - t_one) / (iters - 1), 1e-9)
+    bases_per_sec = B * L / per_iter
 
     print(json.dumps({
         "metric": "filter_device_throughput",

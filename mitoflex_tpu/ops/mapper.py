@@ -1,84 +1,92 @@
-"""Read-to-contig mapping and coverage.
+"""Read-to-contig mapping and coverage — on device.
 
 Replaces the reference's ``bwa index/mem | samtools view -q30 | sort`` +
 ``samtools depth -aa | avgdep_bin`` chains (findmitoscaf.py:439-467 depth
 retag, visualize.py:102-113 depth track, bim/bim.py:43-58 bait mapping).
 
 Design: seed-vote placement, not SAM-grade alignment — every consumer in
-this pipeline needs read placements and per-base depth, not CIGARs:
+this pipeline needs read placements and per-base depth, not CIGARs. The
+whole path runs as one jitted XLA computation per read batch:
 
-- the contig set (mito scale, <= ~100 kb total) is indexed by exact
-  k-mers (k=15 fits 30 bits -> uint32 keys, sorted array + searchsorted);
-- each read contributes sampled k-mers on both strands; matches vote on
-  (contig, diagonal); a read maps where enough seeds agree on one
-  diagonal (q30-like uniqueness: reject reads whose best diagonal is
-  matched elsewhere);
-- per-base depth is an interval sum (difference array / cumsum — the
-  device analog is jax.ops.segment_sum over interval endpoints, used when
-  batches are large).
+- the contig set is indexed by exact 15-mers (30 bits -> one uint32 word,
+  packed by ops/kmer.extract_kmers), sorted once with positions;
+- each read contributes sampled 15-mers on both strands; each seed looks
+  up the index (vectorized binary search) and yields up to ``max_mult``
+  (contig, diagonal) candidates;
+- candidates are sorted per read and the longest run (= most seeds
+  agreeing on one diagonal) wins if it reaches ``min_votes`` and strictly
+  beats the runner-up (q30-like uniqueness);
+- per-base depth is an interval sum via segment_sum over read endpoints.
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..io import encoding
 from ..io.fasta import FastaRecord
+from . import kmer as kmer_ops
 
 K = 15
-_K_MASK = np.uint32((1 << (2 * K)) - 1)
+SEED_STEP = 4
+MAX_MULT = 4
 
 
-def _pack_kmers(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """All k-mers of a 1-D code array → (keys uint32, positions). Windows
-    containing N are dropped."""
-    n = len(codes) - K + 1
-    if n <= 0:
-        return np.zeros(0, np.uint32), np.zeros(0, np.int32)
-    c = codes.astype(np.uint32)
-    keys = np.zeros(n, np.uint32)
-    for t in range(K):
-        keys = (keys << np.uint32(2)) | np.where(c[t : t + n] < 4, c[t : t + n], 0)
-    bad = np.zeros(n, bool)
-    isn = codes >= 4
-    cum = np.cumsum(isn)
-    bad = (cum[K - 1 :] - np.concatenate([[0], cum[: n - 1]])) > 0
-    pos = np.arange(n, dtype=np.int32)
-    return keys[~bad], pos[~bad]
+def _pad_pow2(n: int, floor: int = 256) -> int:
+    c = floor
+    while c < n:
+        c <<= 1
+    return c
 
 
 @dataclass
 class ContigIndex:
+    """Sorted 15-mer index of the contig set, device-resident."""
+
     ids: List[str]
-    lengths: np.ndarray
-    keys: np.ndarray        # sorted kmer keys
-    contig_of: np.ndarray   # contig index per key
-    pos_of: np.ndarray      # position per key
-    multiplicity: np.ndarray  # how often each key occurs (repeat filter)
+    lengths: np.ndarray      # [n_contigs]
+    keys: jax.Array          # [cap] uint32 sorted (pad 0xFFFFFFFF)
+    contig_of: jax.Array     # [cap] int32
+    pos_of: jax.Array        # [cap] int32
+    n_entries: int
 
     @classmethod
     def build(cls, contigs: Sequence[FastaRecord]) -> "ContigIndex":
-        keys_all, contig_all, pos_all = [], [], []
-        lengths = []
-        for ci, rec in enumerate(contigs):
-            k, p = _pack_kmers(rec.codes)
-            keys_all.append(k)
-            pos_all.append(p)
-            contig_all.append(np.full(len(k), ci, np.int32))
-            lengths.append(len(rec.seq))
-        keys = np.concatenate(keys_all) if keys_all else np.zeros(0, np.uint32)
-        contig = np.concatenate(contig_all) if contig_all else np.zeros(0, np.int32)
-        pos = np.concatenate(pos_all) if pos_all else np.zeros(0, np.int32)
+        maxlen = max((len(r.seq) for r in contigs), default=K)
+        maxlen = max(maxlen, K)
+        B = len(contigs)
+        batch = np.full((max(B, 1), maxlen), encoding.N, np.int8)
+        lens = np.zeros(max(B, 1), np.int32)
+        for i, r in enumerate(contigs):
+            batch[i, : len(r.seq)] = r.codes
+            lens[i] = len(r.seq)
+        words, valid = kmer_ops.extract_kmers(jnp.asarray(batch), jnp.asarray(lens), K)
+        w = np.asarray(words[0])
+        v = np.asarray(valid)
+        ridx, cidx = np.nonzero(v)
+        keys = w[ridx, cidx]
         order = np.argsort(keys, kind="stable")
-        keys, contig, pos = keys[order], contig[order], pos[order]
-        # multiplicity per key (for repeat masking)
-        uniq, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
-        mult = counts[inv]
-        return cls([r.id for r in contigs], np.asarray(lengths, np.int64),
-                   keys, contig, pos, mult)
+        keys = keys[order]
+        contig = ridx[order].astype(np.int32)
+        pos = cidx[order].astype(np.int32)
+        cap = _pad_pow2(len(keys))
+        pk = np.full(cap, 0xFFFFFFFF, np.uint32)
+        pc = np.zeros(cap, np.int32)
+        pp = np.zeros(cap, np.int32)
+        pk[: len(keys)] = keys
+        pc[: len(keys)] = contig
+        pp[: len(keys)] = pos
+        return cls(
+            [r.id for r in contigs],
+            np.asarray([len(r.seq) for r in contigs], np.int64),
+            jnp.asarray(pk), jnp.asarray(pc), jnp.asarray(pp), len(keys),
+        )
 
 
 @dataclass
@@ -89,73 +97,114 @@ class MappedBatch:
     votes: np.ndarray      # [B] int32 supporting seeds
 
 
+@functools.partial(jax.jit, static_argnames=("min_votes", "step", "max_mult"))
+def _map_device(
+    keys: jax.Array, contig_of: jax.Array, pos_of: jax.Array,
+    seqs: jax.Array, lengths: jax.Array,
+    min_votes: int = 2, step: int = SEED_STEP, max_mult: int = MAX_MULT,
+):
+    """Both strands in one computation. Returns (contig, pos, strand,
+    votes) device arrays."""
+    B, L = seqs.shape
+    rc = kmer_ops.revcomp_codes(seqs, lengths)
+
+    def one_strand(batch):
+        words, valid = kmer_ops.extract_kmers(batch, lengths, K)
+        w = words[0][:, ::step]                      # [B, S]
+        v = valid[:, ::step]
+        S = w.shape[1]
+        offs = (jnp.arange(S, dtype=jnp.int32) * step)[None, :]
+        idx = jnp.searchsorted(keys, w)              # [B, S]
+        c_contig, c_diag, c_bad = [], [], []
+        for m in range(max_mult):
+            e = jnp.clip(idx + m, 0, keys.shape[0] - 1)
+            hit = jnp.logical_and(v, keys[e] == w)
+            c_contig.append(jnp.where(hit, contig_of[e], jnp.int32(2**28)))
+            c_diag.append(jnp.where(hit, pos_of[e] - offs, jnp.int32(2**28)))
+            c_bad.append(jnp.logical_not(hit))
+        contig_c = jnp.concatenate(c_contig, axis=1)  # [B, M]
+        diag_c = jnp.concatenate(c_diag, axis=1)
+        # lexicographic sort by (contig, diagonal): misses sort to the end
+        contig_s, diag_s = jax.lax.sort([contig_c, diag_c], num_keys=2, dimension=1)
+        M = contig_s.shape[1]
+        pos_i = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+        same = jnp.logical_and(
+            contig_s[:, 1:] == contig_s[:, :-1], diag_s[:, 1:] == diag_s[:, :-1]
+        )
+        is_new = jnp.concatenate([jnp.ones((B, 1), bool), jnp.logical_not(same)], axis=1)
+        run_start = jnp.where(is_new, pos_i, 0)
+        run_start = jax.lax.cummax(run_start, axis=1)
+        run_len = pos_i - run_start + 1
+        run_len = jnp.where(contig_s < 2**28, run_len, 0)
+        is_end = jnp.concatenate([jnp.logical_not(same), jnp.ones((B, 1), bool)], axis=1)
+        end_len = jnp.where(is_end, run_len, 0)
+        top2, top_idx = jax.lax.top_k(end_len, 2)
+        best_votes = top2[:, 0]
+        second_votes = top2[:, 1]
+        contig = jnp.take_along_axis(contig_s, top_idx[:, :1], axis=1)[:, 0]
+        diag = jnp.take_along_axis(diag_s, top_idx[:, :1], axis=1)[:, 0]
+        ok = jnp.logical_and(best_votes >= min_votes, best_votes > second_votes)
+        return (
+            jnp.where(ok, contig, -1),
+            jnp.maximum(diag, 0),
+            best_votes,
+        )
+
+    c_f, p_f, v_f = one_strand(seqs)
+    c_r, p_r, v_r = one_strand(rc)
+    use_r = v_r > v_f
+    contig = jnp.where(use_r, c_r, c_f)
+    pos = jnp.where(use_r, p_r, p_f)
+    votes = jnp.where(use_r, v_r, v_f)
+    strand = jnp.where(use_r, jnp.int8(-1), jnp.int8(1))
+    return contig.astype(jnp.int32), pos.astype(jnp.int32), strand, votes.astype(jnp.int32)
+
+
 def map_batch(
     index: ContigIndex,
-    seqs: np.ndarray,       # [B, L] int8
-    lengths: np.ndarray,    # [B]
+    seqs: np.ndarray,
+    lengths: np.ndarray,
     min_votes: int = 2,
-    sample_step: int = 4,
-    max_key_mult: int = 8,
+    sample_step: int = SEED_STEP,
+    max_key_mult: int = MAX_MULT,
 ) -> MappedBatch:
     B, L = seqs.shape
-    out_contig = np.full(B, -1, np.int32)
-    out_pos = np.zeros(B, np.int32)
-    out_strand = np.ones(B, np.int8)
-    out_votes = np.zeros(B, np.int32)
-    for strand in (1, -1):
-        if strand == 1:
-            batch = seqs
-        else:
-            comp = np.where(seqs < 4, 3 - seqs, seqs)
-            batch = comp[:, ::-1]
-        for b in range(B):
-            Lr = int(lengths[b])
-            if Lr < K:
-                continue
-            codes = batch[b, :Lr] if strand == 1 else batch[b, L - Lr:]
-            kk, pp = _pack_kmers(codes)
-            if len(kk) == 0:
-                continue
-            sel = slice(0, len(kk), sample_step)
-            kk, pp = kk[sel], pp[sel]
-            lo = np.searchsorted(index.keys, kk, side="left")
-            hi = np.searchsorted(index.keys, kk, side="right")
-            votes: Dict[Tuple[int, int], int] = {}
-            for ki in range(len(kk)):
-                if hi[ki] - lo[ki] == 0 or hi[ki] - lo[ki] > max_key_mult:
-                    continue
-                for e in range(lo[ki], hi[ki]):
-                    diag = int(index.pos_of[e]) - int(pp[ki])
-                    key = (int(index.contig_of[e]), diag)
-                    votes[key] = votes.get(key, 0) + 1
-            if not votes:
-                continue
-            (ci, diag), v = max(votes.items(), key=lambda kv: kv[1])
-            second = max((x for k2, x in votes.items() if k2 != (ci, diag)), default=0)
-            if v >= min_votes and v > second and v > out_votes[b]:
-                out_contig[b] = ci
-                out_pos[b] = max(diag, 0)
-                out_strand[b] = strand
-                out_votes[b] = v
-    return MappedBatch(out_contig, out_pos, out_strand, out_votes)
+    if L < K or index.n_entries == 0:
+        return MappedBatch(
+            np.full(B, -1, np.int32), np.zeros(B, np.int32),
+            np.ones(B, np.int8), np.zeros(B, np.int32),
+        )
+    contig, pos, strand, votes = _map_device(
+        index.keys, index.contig_of, index.pos_of,
+        jnp.asarray(seqs), jnp.asarray(lengths),
+        min_votes, sample_step, max_key_mult,
+    )
+    return MappedBatch(
+        np.asarray(contig), np.asarray(pos), np.asarray(strand), np.asarray(votes)
+    )
 
 
 def add_coverage(
     depth: List[np.ndarray], index: ContigIndex, mapped: MappedBatch, lengths: np.ndarray
 ) -> None:
     """Accumulate per-base depth via difference arrays."""
-    for b in np.nonzero(mapped.contig >= 0)[0]:
-        ci = int(mapped.contig[b])
-        start = int(mapped.pos[b])
-        end = min(start + int(lengths[b]), int(index.lengths[ci]))
-        if end > start:
-            depth[ci][start] += 1
-            if end < len(depth[ci]):
-                depth[ci][end] -= 1
+    sel = np.nonzero(mapped.contig >= 0)[0]
+    cis = mapped.contig[sel]
+    starts = mapped.pos[sel]
+    ends = np.minimum(starts + lengths[sel], index.lengths[cis])
+    for ci in np.unique(cis):
+        rows = sel[cis == ci]
+        d = depth[int(ci)]
+        np.add.at(d, mapped.pos[rows], 1)
+        e = np.minimum(mapped.pos[rows] + lengths[rows], len(d) - 1)
+        np.add.at(d, e, -1)
 
 
 def finish_coverage(depth: List[np.ndarray]) -> List[np.ndarray]:
-    return [np.cumsum(d[:-1] if len(d) else d) for d in depth]
+    out = []
+    for d in depth:
+        out.append(np.cumsum(d[:-1]) if len(d) else d)
+    return out
 
 
 def coverage_of_reads(
@@ -170,9 +219,9 @@ def coverage_of_reads(
     depth = [np.zeros(int(l) + 1, np.int64) for l in index.lengths]
     n_mapped = n_total = 0
     for batch in batches:
-        seqs, lengths, count = batch.seqs, batch.lengths, batch.count
-        mapped = map_batch(index, seqs[:count], lengths[:count], min_votes)
-        add_coverage(depth, index, mapped, lengths)
+        count = batch.count
+        mapped = map_batch(index, batch.seqs[:count], batch.lengths[:count], min_votes)
+        add_coverage(depth, index, mapped, batch.lengths[:count])
         n_mapped += int((mapped.contig >= 0).sum())
         n_total += count
     per_base = finish_coverage(depth)

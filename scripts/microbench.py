@@ -1,0 +1,194 @@
+"""Per-kernel device microbenchmarks (honest timing).
+
+Each kernel is wrapped in a device-side fori_loop with a per-iteration
+input perturbation and a scalar reduction readback, so the wall clock
+covers real executions regardless of async dispatch or remote result
+caching (see bench.py). Run on the target backend:
+
+    python scripts/microbench.py [filter|kmer|viterbi|sw|genewise|all]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _timed_loop(make_run, iters=20):
+    import jax
+
+    int(make_run(1)())  # compile 1
+    t0 = time.perf_counter()
+    int(make_run(1)())
+    t1 = time.perf_counter() - t0
+    run_n = make_run(iters)
+    int(run_n())  # compile N
+    t0 = time.perf_counter()
+    int(run_n())
+    tn = time.perf_counter() - t0
+    return max((tn - t1) / (iters - 1), 1e-9)
+
+
+def bench_filter():
+    import jax
+    import jax.numpy as jnp
+
+    from mitoflex_tpu.ops import filter as F
+
+    B, L = 65536, 256
+    rng = np.random.default_rng(0)
+    ds = jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int8))
+    dq = jnp.asarray(rng.integers(35, 74, (B, L)).astype(np.int8))
+    dl = jnp.asarray(np.full(B, L, np.int32))
+    kern = F.filter_reads_pallas if jax.default_backend() == "tpu" else F.filter_reads_ref
+
+    def make(iters):
+        @jax.jit
+        def run():
+            def body(i, acc):
+                keep, h1, _ = kern(ds ^ (i & 3).astype(jnp.int8), dq, dl, 10, 55, 0.2)
+                return acc + jnp.sum(keep.astype(jnp.int32)) + h1[0].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        return run
+
+    dt = _timed_loop(make)
+    print(f"filter      : {dt*1e3:8.2f} ms/batch  {B*L/dt/1e9:8.2f} Gbase/s")
+
+
+def bench_kmer(k=31):
+    import jax
+    import jax.numpy as jnp
+
+    from mitoflex_tpu.ops import kmer as K
+
+    B, L = 4096, 256
+    rng = np.random.default_rng(0)
+    ds = jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int8))
+    dl = jnp.asarray(np.full(B, L, np.int32))
+    nk = 2 * B * (L - k - 1 + 1 + 1)
+
+    def make(iters):
+        @jax.jit
+        def run():
+            def body(i, acc):
+                uw, uc, nu = K.count_chunk(ds ^ (i & 3).astype(jnp.int8), dl, k)
+                return acc + nu
+
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        return run
+
+    dt = _timed_loop(make, iters=10)
+    print(f"kmer k={k:3d} : {dt*1e3:8.2f} ms/chunk  {nk/dt/1e6:8.0f} Mkmer/s  {B*L/dt/1e6:8.0f} Mbp/s")
+
+
+def bench_viterbi():
+    import jax
+    import jax.numpy as jnp
+
+    from mitoflex_tpu.models import hmm as H
+    from mitoflex_tpu.ops import phmm as P
+
+    rng = np.random.default_rng(0)
+    cons = "".join("ACGT"[i] for i in rng.integers(0, 4, 660))
+    prof = P.stage_profile(H.profile_from_consensus("X", cons))
+    W, T = 32, 1536
+    ds = jnp.asarray(rng.integers(0, 4, (W, T)).astype(np.int8))
+    dl = jnp.asarray(np.full(W, T, np.int32))
+
+    def make(iters):
+        @jax.jit
+        def run():
+            def body(i, acc):
+                h = P.viterbi_scan(prof, ds ^ (i & 3).astype(jnp.int8), dl, 660)
+                return acc + h.seq_to[0] + h.score[0].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        return run
+
+    dt = _timed_loop(make, iters=5)
+    cells = W * T * 660
+    print(f"viterbi L660: {dt*1e3:8.2f} ms/scan   {cells/dt/1e9:8.2f} Gcell/s  {W*T/dt/1e6:8.2f} Mbp/s")
+
+
+def bench_sw():
+    import jax
+    import jax.numpy as jnp
+
+    from mitoflex_tpu.models import codon
+    from mitoflex_tpu.ops import sw as SW
+
+    rng = np.random.default_rng(0)
+    B, Lq, Lt = 64, 256, 1024
+    q = jnp.asarray(rng.integers(0, 20, (B, Lq)).astype(np.int8))
+    ql = jnp.asarray(np.full(B, Lq, np.int32))
+    t = jnp.asarray(rng.integers(0, 20, (B, Lt)).astype(np.int8))
+    tl = jnp.asarray(np.full(B, Lt, np.int32))
+    sub = jnp.asarray(codon.blosum62())
+
+    def make(iters):
+        @jax.jit
+        def run():
+            def body(i, acc):
+                h = SW.sw_align(q, ql, t ^ (i & 3).astype(jnp.int8), tl, sub, 12.0, 1.0)
+                return acc + h.q_to[0] + h.score[0].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        return run
+
+    dt = _timed_loop(make, iters=5)
+    cells = B * Lq * Lt
+    print(f"sw          : {dt*1e3:8.2f} ms/batch  {cells/dt/1e9:8.2f} Gcell/s")
+
+
+def bench_genewise():
+    import jax
+    import jax.numpy as jnp
+
+    from mitoflex_tpu.models import codon
+    from mitoflex_tpu.ops import genewise as GW
+
+    rng = np.random.default_rng(0)
+    B, Lq, T = 32, 256, 1024
+    q = jnp.asarray(rng.integers(0, 20, (B, Lq)).astype(np.int8))
+    ql = jnp.asarray(np.full(B, Lq, np.int32))
+    aa = jnp.asarray(rng.integers(0, 20, (B, T)).astype(np.int8))
+    tl = jnp.asarray(np.full(B, T, np.int32))
+    sub = jnp.asarray(codon.blosum62())
+
+    def make(iters):
+        @jax.jit
+        def run():
+            def body(i, acc):
+                h = GW.genewise_align(q, ql, aa ^ (i & 3).astype(jnp.int8), tl, sub)
+                return acc + h.q_to[0] + h.score[0].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        return run
+
+    dt = _timed_loop(make, iters=5)
+    cells = B * Lq * T
+    print(f"genewise    : {dt*1e3:8.2f} ms/batch  {cells/dt/1e9:8.2f} Gcell/s")
+
+
+if __name__ == "__main__":
+    import jax
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print(f"backend: {jax.default_backend()}")
+    table = {
+        "filter": bench_filter, "kmer": bench_kmer, "viterbi": bench_viterbi,
+        "sw": bench_sw, "genewise": bench_genewise,
+    }
+    for name, fn in table.items():
+        if which in (name, "all"):
+            fn()
