@@ -74,6 +74,10 @@ class AssembleConfig:
     # TPU engine knobs
     kmer_chunk: int = 1 << 22        # k-mers per device sort chunk
     max_contigs: int = 1 << 16       # static bound on contig table size
+    prefilter_reads: bool = True     # at k>kmin, only count reads mapping to
+                                     # surviving contigs (the depth-gated
+                                     # graph concentration applied at the
+                                     # read level; megahit-iterate analog)
 
 
 @dataclass

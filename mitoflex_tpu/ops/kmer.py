@@ -56,14 +56,23 @@ def revcomp_codes(seqs: jax.Array, lengths: jax.Array) -> jax.Array:
     return jnp.where(col < lengths[:, None], out, jnp.int8(N_CODE)).astype(jnp.int8)
 
 
+def revcomp_codes_padfront(seqs: jax.Array) -> jax.Array:
+    """Cheap reverse-complement: plain reversal, pad moves to the FRONT.
+    Safe for k-mer extraction because pad is the N code and N-containing
+    windows are masked out anyway (no per-row realignment gather)."""
+    comp = jnp.where(seqs < 4, 3 - seqs, seqs)
+    return comp[:, ::-1].astype(jnp.int8)
+
+
 def extract_kmers(
-    seqs: jax.Array, lengths: jax.Array, k: int
+    seqs: jax.Array, lengths: jax.Array, k: int, right_aligned: bool = False
 ) -> Tuple[List[jax.Array], jax.Array]:
     """Extract all k-mers of each row.
 
     Returns (words, valid): ``words`` is a list of W arrays, each [B, P]
-    uint32 (P = L - k + 1); ``valid`` is [B, P] bool (in-range and N-free).
-    """
+    uint32 (P = L - k + 1); ``valid`` is [B, P] bool (inside the row's
+    content region and N-free). ``right_aligned`` marks rows whose content
+    sits at the END of the row (e.g. pad-front reverse complements)."""
     B, L = seqs.shape
     P = L - k + 1
     assert P > 0, f"max_read_len {L} shorter than k {k}"
@@ -78,9 +87,12 @@ def extract_kmers(
             acc = acc | (jnp.where(s32[:, col : col + P] < 4, s32[:, col : col + P], 0)
                          << (2 * (BASES_PER_WORD - 1 - t)))
         words.append(acc)
-    # validity: window fits in the read and contains no N
+    # validity: window inside the content region and contains no N
     col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
-    fits = col + k <= lengths[:, None]
+    if right_aligned:
+        fits = col >= (L - lengths)[:, None]
+    else:
+        fits = col + k <= lengths[:, None]
     is_n = (seqs == N_CODE).astype(jnp.int32)
     cum = jnp.cumsum(is_n, axis=1)
     # #N in [j, j+k) = cum[j+k-1] - cum[j-1]
@@ -144,16 +156,102 @@ def count_chunk(
     Returns (unique_words, counts, n_unique) as in sort_count_unique, with
     capacity 2 * B * (L - k + 1).
     """
-    rc = revcomp_codes(seqs, lengths)
+    rc = revcomp_codes_padfront(seqs)
     w_f, v_f = extract_kmers(seqs, lengths, k)
-    w_r, v_r = extract_kmers(rc, lengths, k)
+    w_r, v_r = extract_kmers(rc, lengths, k, right_aligned=True)
     words = [jnp.concatenate([a, b]) for a, b in zip(w_f, w_r)]
     valid = jnp.concatenate([v_f, v_r])
     wts = jnp.concatenate([weights, weights]) if weights is not None else None
     return sort_count_unique(words, valid, wts)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def count_chunk_runs(
+    seqs: jax.Array, lengths: jax.Array, k: int
+):
+    """Fast-path both-strand UNWEIGHTED counting without on-device
+    compaction or extra sort operands.
+
+    Validity is folded into the keys (invalid windows become the all-ones
+    sentinel, which sorts last; a real all-T k-mer shares the key but the
+    first rows of that block are attributed to it — equal keys are
+    interchangeable). Counts are run lengths; run ends are each run's last
+    valid row. Device work = extraction + ONE W-operand lexicographic sort
+    + elementwise passes (no segment_sum scatter, no argsort gathers); the
+    host finishes with two boolean masks (count_chunk_host).
+
+    Returns (sorted_words [N] x W, run_counts [N], is_start [N],
+    is_end [N]); the i-th True of is_start and of is_end bracket the same
+    run, so keys[is_start] pairs elementwise with counts[is_end].
+    """
+    rc = revcomp_codes_padfront(seqs)
+    w_f, v_f = extract_kmers(seqs, lengths, k)
+    w_r, v_r = extract_kmers(rc, lengths, k, right_aligned=True)
+    valid2 = [v_f, v_r]
+    words = [
+        jnp.concatenate([
+            jnp.where(v, w, jnp.uint32(0xFFFFFFFF)) for w, v in zip(pair, valid2)
+        ]).reshape(-1)
+        for pair in zip(w_f, w_r)
+    ]
+    valid = jnp.concatenate(valid2).reshape(-1)
+    n = valid.shape[0]
+    W = len(words)
+    s_words = list(jax.lax.sort(words, num_keys=W))
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    all_ones = jnp.ones((n,), jnp.bool_)
+    for w in s_words:
+        all_ones = jnp.logical_and(all_ones, w == jnp.uint32(0xFFFFFFFF))
+    n_invalid = jnp.sum(jnp.logical_not(valid).astype(jnp.int32))
+    s_valid = jnp.logical_or(jnp.logical_not(all_ones), pos < n - n_invalid)
+
+    diff = jnp.zeros((n,), jnp.bool_)
+    for w in s_words:
+        diff = jnp.logical_or(
+            diff, jnp.concatenate([jnp.ones((1,), jnp.bool_), w[1:] != w[:-1]])
+        )
+    is_start = jnp.logical_and(diff, s_valid)
+    next_diff = jnp.concatenate([diff[1:], jnp.ones((1,), jnp.bool_)])
+    next_invalid = jnp.concatenate(
+        [jnp.logical_not(s_valid[1:]), jnp.ones((1,), jnp.bool_)]
+    )
+    is_end = jnp.logical_and(s_valid, jnp.logical_or(next_diff, next_invalid))
+
+    run_start = jax.lax.cummax(jnp.where(diff, pos, 0))
+    counts = (pos - run_start + 1).astype(jnp.uint32)
+    return s_words, counts, is_start, is_end
+
+
 # ---------------------------------------------------------------- host merge
+def count_chunk_host(
+    seqs, lengths, k: int, weights=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-facing counting: the unweighted hot path uses the run-length
+    device pass + boolean-mask compaction here; the weighted path (contig
+    re-injection, small volume) uses the exact compacted path. Returns
+    (keys [U, W] uint32 sorted, counts [U])."""
+    import jax.numpy as jnp
+
+    if weights is not None:
+        B, L = seqs.shape
+        w = jnp.broadcast_to(
+            jnp.asarray(weights, jnp.uint32).reshape(-1, 1), (B, L - k + 1)
+        )
+        uw, uc, nu = count_chunk(jnp.asarray(seqs), jnp.asarray(lengths), k, w)
+        nu = int(nu)
+        keys = words_to_np_keys([np.asarray(x)[:nu] for x in uw])
+        return keys, np.asarray(uc)[:nu].astype(np.uint64)
+    s_words, counts, is_start, is_end = count_chunk_runs(
+        jnp.asarray(seqs), jnp.asarray(lengths), k
+    )
+    st = np.asarray(is_start)
+    en = np.asarray(is_end)
+    keys = np.stack([np.asarray(w)[st] for w in s_words], axis=1)
+    cnt = np.asarray(counts)[en].astype(np.uint64)
+    return keys, cnt
+
+
 def words_to_np_keys(words: List[np.ndarray]) -> np.ndarray:
     """Stack W uint32 word arrays into an [N, W] big-endian-comparable
     uint32 matrix (host side)."""

@@ -67,44 +67,72 @@ def _pad_pow2(n: int, floor: int = 1 << 12) -> int:
 
 
 class KmerCounter:
-    """Chunked device k-mer counting with host merge of sorted runs."""
+    """Chunked device k-mer counting with hierarchical host merging.
+
+    Sorted (keys, counts) runs from each device chunk are collected and
+    merged pairwise like a merge-sort tail (runs at level i are merged when
+    two accumulate), so total merge work is O(N log C) instead of the
+    quadratic cost of merging every chunk into one growing table."""
 
     def __init__(self, k: int, chunk_rows: int = 4096):
         self.k = k
         self.chunk_rows = chunk_rows
-        self.keys: Optional[np.ndarray] = None  # [N, W] uint32, sorted
-        self.counts: Optional[np.ndarray] = None
+        self._levels: List[Optional[Tuple[np.ndarray, np.ndarray]]] = []
+
+    def _push(self, run: Tuple[np.ndarray, np.ndarray]) -> None:
+        level = 0
+        while True:
+            if level == len(self._levels):
+                self._levels.append(run)
+                return
+            if self._levels[level] is None:
+                self._levels[level] = run
+                return
+            a = self._levels[level]
+            self._levels[level] = None
+            run = kmer_ops.merge_sorted_counts(a[0], a[1], run[0], run[1])
+            level += 1
 
     def add_chunk(self, seqs: np.ndarray, lengths: np.ndarray,
                   weights: Optional[np.ndarray] = None) -> None:
         B, L = seqs.shape
         if L < self.k:
             return
-        w = None
-        if weights is not None:
-            w = jnp.broadcast_to(
-                jnp.asarray(weights, jnp.uint32)[:, None], (B, L - self.k + 1)
-            )
-        uw, uc, nu = kmer_ops.count_chunk(
-            jnp.asarray(seqs), jnp.asarray(lengths), self.k, w
+        keys, counts = kmer_ops.count_chunk_host(
+            seqs, lengths, self.k,
+            np.asarray(weights, np.uint32) if weights is not None else None,
         )
-        nu = int(nu)
-        if nu == 0:
+        if len(keys) == 0:
             return
-        keys = kmer_ops.words_to_np_keys([np.asarray(x)[:nu] for x in uw])
-        counts = np.asarray(uc)[:nu].astype(np.uint64)
-        if self.keys is None:
-            self.keys, self.counts = keys, counts
-        else:
-            self.keys, self.counts = kmer_ops.merge_sorted_counts(
-                self.keys, self.counts, keys, counts
+        self._push((keys, counts))
+
+    def _merged(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        acc = None
+        for run in self._levels:
+            if run is None:
+                continue
+            acc = run if acc is None else kmer_ops.merge_sorted_counts(
+                acc[0], acc[1], run[0], run[1]
             )
+        return acc
+
+    @property
+    def keys(self) -> Optional[np.ndarray]:
+        m = self._merged()
+        return m[0] if m else None
+
+    @property
+    def counts(self) -> Optional[np.ndarray]:
+        m = self._merged()
+        return m[1] if m else None
 
     def solid(self, min_multi: int) -> Tuple[np.ndarray, np.ndarray]:
-        if self.keys is None:
+        m = self._merged()
+        if m is None:
             return np.zeros((0, kmer_ops.num_words(self.k)), np.uint32), np.zeros(0, np.uint64)
-        mask = self.counts >= min_multi
-        return self.keys[mask], self.counts[mask]
+        keys, counts = m
+        mask = counts >= min_multi
+        return keys[mask], counts[mask]
 
 
 def _iter_read_chunks(
@@ -127,19 +155,22 @@ def count_edges(
     counter = KmerCounter(k + 1)
     for seqs, lengths in read_source():
         counter.add_chunk(seqs, lengths)
-    keys, counts = counter.solid(min_multi) if not extra_contigs else (None, None)
-    if extra_contigs:
-        ccounter = KmerCounter(k + 1)
-        for seqs, lengths, weights in _contigs_to_chunks(extra_contigs, k + 1):
-            # within contigs, overlay too (a kmer may repeat across contigs)
-            ccounter.add_chunk(seqs, lengths, weights)
-        rkeys = counter.keys if counter.keys is not None else np.zeros(
-            (0, kmer_ops.num_words(k + 1)), np.uint32)
-        rcounts = counter.counts if counter.counts is not None else np.zeros(0, np.uint64)
-        ckeys, ccounts = ccounter.solid(1)
-        keys, counts = kmer_ops.merge_sorted_counts(rkeys, rcounts, ckeys, ccounts, op="max")
-        mask = counts >= min_multi
-        keys, counts = keys[mask], counts[mask]
+    if not extra_contigs:
+        return counter.solid(min_multi)
+    ccounter = KmerCounter(k + 1)
+    for seqs, lengths, weights in _contigs_to_chunks(extra_contigs, k + 1):
+        # within contigs, overlay too (a kmer may repeat across contigs)
+        ccounter.add_chunk(seqs, lengths, weights)
+    merged = counter._merged()
+    if merged is None:
+        rkeys = np.zeros((0, kmer_ops.num_words(k + 1)), np.uint32)
+        rcounts = np.zeros(0, np.uint64)
+    else:
+        rkeys, rcounts = merged
+    ckeys, ccounts = ccounter.solid(1)
+    keys, counts = kmer_ops.merge_sorted_counts(rkeys, rcounts, ckeys, ccounts, op="max")
+    mask = counts >= min_multi
+    keys, counts = keys[mask], counts[mask]
     return keys, counts
 
 
@@ -260,6 +291,74 @@ def assemble_k(
     return contigs
 
 
+def local_extend(
+    contigs: List[Contig],
+    read_source,
+    max_rounds: int = 3,
+    min_support: int = 3,
+    consensus_frac: float = 0.75,
+    max_ext_per_round: int = 60,
+) -> List[Contig]:
+    """Local assembly of contig ends (megahit `local` analog,
+    assemble_wrapper.py:298-304): reads mapping near a dead end vote on
+    the bases beyond it; ends are extended while a clear consensus with
+    enough support exists. Recovers sequence dropped at chunk/depth
+    boundaries and helps neighboring contigs reach overlap length."""
+    from ..io.fasta import FastaRecord
+    from ..ops import mapper as mapper_ops
+
+    for _ in range(max_rounds):
+        recs = [FastaRecord(f"le{j}", c.seq) for j, c in enumerate(contigs)]
+        index = mapper_ops.ContigIndex.build(recs)
+        # votes[contig][end][offset][base]
+        votes = [
+            np.zeros((2, max_ext_per_round, 4), np.int32) for _ in contigs
+        ]
+        for seqs, lengths in read_source():
+            m = mapper_ops.map_batch(index, seqs, lengths, min_votes=2)
+            sel = np.nonzero(m.contig >= 0)[0]
+            for b in sel:
+                ci = int(m.contig[b])
+                clen = len(contigs[ci].seq)
+                Lr = int(lengths[b])
+                if Lr == 0:
+                    continue
+                row = seqs[b, :Lr] if m.strand[b] == 1 else np.asarray(
+                    encoding.revcomp(seqs[b, :Lr])
+                )
+                start = int(m.pos[b])
+                right_over = start + Lr - clen
+                if 0 < right_over <= max_ext_per_round + Lr:
+                    over = row[Lr - right_over :][:max_ext_per_round]
+                    ok = over < 4
+                    np.add.at(votes[ci][1], (np.nonzero(ok)[0], over[ok]), 1)
+                # left overhang only when mapper clamped pos to 0 is not
+                # detectable; approximate via seeds suggesting pos 0 and a
+                # prefix that does not match -> skipped (cheap version)
+        changed = False
+        new_contigs = []
+        for ci, c in enumerate(contigs):
+            v = votes[ci][1]
+            total = v.sum(axis=1)
+            best = v.max(axis=1)
+            ext_len = 0
+            for off in range(max_ext_per_round):
+                if total[off] >= min_support and best[off] >= consensus_frac * total[off]:
+                    ext_len = off + 1
+                else:
+                    break
+            if ext_len:
+                ext = "".join("ACGT"[int(v[o].argmax())] for o in range(ext_len))
+                new_contigs.append(Contig(c.seq + ext, c.depth, c.circular))
+                changed = True
+            else:
+                new_contigs.append(c)
+        contigs = new_contigs
+        if not changed:
+            break
+    return contigs
+
+
 def filter_contigs(
     contigs: List[Contig], min_depth: float, min_length: int, max_length: int,
     filter_keep: int = 0,
@@ -310,15 +409,40 @@ def assemble(
     contigs: List[Contig] = []
     last_good: List[Contig] = []
     for i, k in enumerate(klist):
+        source = read_source
+        if cfg.prefilter_reads and contigs:
+            # later iterations only count reads that map to the surviving
+            # (depth-gated) contigs — the concentration trick applied at
+            # the read level, so k>kmin costs scale with the mito subset
+            from ..ops import mapper as mapper_ops
+
+            recs = [
+                fasta.FastaRecord(f"pf{j}", c.seq) for j, c in enumerate(contigs)
+            ]
+            index = mapper_ops.ContigIndex.build(recs)
+
+            def source():
+                for seqs, lengths in read_source():
+                    m = mapper_ops.map_batch(index, seqs, lengths, min_votes=2)
+                    keep = m.contig >= 0
+                    if keep.any():
+                        lens2 = np.where(keep, lengths, 0).astype(np.int32)
+                        yield seqs, lens2
+
         try:
             keys, counts = count_edges(
-                read_source, k, cfg.min_multi, extra_contigs=contigs
+                source, k, cfg.min_multi, extra_contigs=contigs
             )
             logger.info(f"assemble: k={k}: {len(keys)} solid (k+1)-mers")
             contigs = assemble_k(
                 keys, counts, k, cfg.prune_depth, cfg.prune_level,
                 min_standalone=cfg.min_length,
             )
+            if not cfg.disable_local and any(not c.circular for c in contigs):
+                linear = [c for c in contigs if not c.circular]
+                circular = [c for c in contigs if c.circular]
+                linear = local_extend(linear, source)
+                contigs = circular + linear
         except EmptyGraph as e:
             logger.warn(f"assemble: {e}; stopping multi-k loop at k={k}")
             break

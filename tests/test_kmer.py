@@ -120,6 +120,37 @@ def test_multiword_searchsorted():
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_count_chunk_runs_matches_exact(rng):
+    """The fast run-length path agrees with the exact compacted path,
+    including ragged rows and N windows."""
+    g = synth.random_genome(rng, 400)
+    reads = [r for r, _ in synth.shotgun_reads(rng, g, 30, read_len=70)]
+    reads.append("ACGTNNACGTACGTACGTACGTACGTACGTACGTACGT")
+    k = 17
+    seqs, lens = _to_batch(reads, 80)
+    keys_f, cnt_f = kmer_ops.count_chunk_host(seqs, lens, k)
+    uw, uc, nu = kmer_ops.count_chunk(jnp.asarray(seqs), jnp.asarray(lens), k)
+    nu = int(nu)
+    keys_e = kmer_ops.words_to_np_keys([np.asarray(w)[:nu] for w in uw])
+    np.testing.assert_array_equal(keys_f, keys_e)
+    np.testing.assert_array_equal(cnt_f, np.asarray(uc)[:nu])
+
+
+def test_count_chunk_runs_all_t_sentinel(rng):
+    """A poly-T read produces real all-T k-mers of word width 16 — they
+    share bits with the invalid sentinel and must still count correctly."""
+    k = 16  # 32 bits exactly: all-T 16-mer == 0xFFFFFFFF
+    reads = ["T" * 40, "A" * 40, synth.random_genome(rng, 40)]
+    seqs, lens = _to_batch(reads, 48)
+    keys, cnt = kmer_ops.count_chunk_host(seqs, lens, k)
+    got = {tuple(int(x) for x in row): int(c) for row, c in zip(keys, cnt)}
+    want = naive_kmer_counts(reads, k)
+    allt = pack_str("T" * k, kmer_ops.num_words(k))
+    assert got[allt] == want["T" * k]
+    total_want = sum(want.values())
+    assert int(cnt.sum()) == total_want
+
+
 def test_revcomp_codes():
     seqs, lens = _to_batch(["ACGT", "AAC"], 6)
     rc = np.asarray(kmer_ops.revcomp_codes(jnp.asarray(seqs), jnp.asarray(lens)))

@@ -1,0 +1,39 @@
+import numpy as np
+
+from mitoflex_tpu.io import encoding
+from mitoflex_tpu.stages import assemble as asm
+from tests import synth
+
+
+def test_local_extend_recovers_truncated_end(rng):
+    g = synth.random_genome(rng, 1500)
+    # contig missing its last 30 bp
+    contig = asm.Contig(g[:1470], 30.0, False)
+    reads = [g[i : i + 100] for i in range(1380, 1401, 2)]  # cover the end
+
+    def source():
+        seqs = np.full((len(reads), 128), 4, np.int8)
+        lens = np.zeros(len(reads), np.int32)
+        for i, r in enumerate(reads):
+            seqs[i, : len(r)] = encoding.encode(r)
+            lens[i] = len(r)
+        yield seqs, lens
+
+    out = asm.local_extend([contig], source)
+    assert len(out) == 1
+    ext = out[0].seq
+    assert len(ext) > 1470
+    assert g.startswith(ext[: min(len(ext), 1500)])
+    # recovered up to the min_support=3 coverage boundary (~1495)
+    assert len(ext) >= 1490
+
+
+def test_local_extend_no_support_no_change(rng):
+    g = synth.random_genome(rng, 800)
+    contig = asm.Contig(g, 30.0, False)
+
+    def source():
+        yield np.full((4, 64), 4, np.int8), np.zeros(4, np.int32)
+
+    out = asm.local_extend([contig], source)
+    assert out[0].seq == g
