@@ -120,7 +120,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = cmd("annotate", "annotate genes on picked scaffolds", fa=True)
     p = cmd("visualize", "render the circular genome map", fa=True, fq=True)
     p.add_argument("--locs", default=None, help="locs.json from annotate")
-    cmd("all", "the whole pipeline: filter->assemble->find->annotate->visualize", fq=True)
+    p = cmd("all", "the whole pipeline: filter->assemble->find->annotate->visualize", fq=True)
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="skip stages whose outputs already exist in the work dir")
     cmd("bim", "iterative bait-map-assemble loop (experimental, like the reference)", fq=True)
     sub.add_parser("load_modules", help="import every stage module as an installation check")
     return parser
@@ -206,7 +208,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             outs = run_visualize(ctx, args.fastafile, locs, args.fastq1, args.fastq2)
             print(json.dumps({"outputs": outs}))
         elif args.command == "all":
-            summary = run_all(ctx, args.fastq1, args.fastq2)
+            summary = run_all(ctx, args.fastq1, args.fastq2, resume=args.resume)
             print(json.dumps(summary, default=str))
         elif args.command == "bim":
             out = run_bim(ctx, args.fastq1, args.fastq2)
@@ -221,8 +223,26 @@ def main(argv: Optional[List[str]] = None) -> int:
         logger.error(str(e))
         return 1
     except Exception:
+        # bug-class failure: dump process state like the reference's
+        # excepthook (MitoFlex.py:423-462 — open files, env, memory)
         logger.error("Unexpected error — this looks like a bug:")
         traceback.print_exc()
+        try:
+            import psutil
+
+            proc = psutil.Process()
+            mem = proc.memory_info()
+            logger.error(
+                f"process state: rss={mem.rss >> 20}MiB vms={mem.vms >> 20}MiB "
+                f"open_files={len(proc.open_files())} threads={proc.num_threads()}"
+            )
+            vm = psutil.virtual_memory()
+            logger.error(
+                f"system memory: {vm.percent}% used "
+                f"({(vm.total - vm.available) >> 20}/{vm.total >> 20} MiB)"
+            )
+        except Exception:
+            pass
         logger.replay_suppressed()
         return 2
     finally:

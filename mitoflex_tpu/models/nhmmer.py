@@ -58,14 +58,25 @@ def _windows_for(length: int, win: int, overlap: int) -> List[Tuple[int, int]]:
     return out
 
 
+def _pad_pow2(n: int, floor: int = 8) -> int:
+    c = floor
+    while c < n:
+        c <<= 1
+    return c
+
+
 def nhmmer_search(
     contigs: Sequence[FastaRecord],
     profiles: Sequence[ProfileHMM],
     e_threshold: float = 1e-3,
     score_threshold: float = 0.0,
-    batch_windows: int = 32,
+    batch_windows: int = 512,
 ) -> pd.DataFrame:
-    """Scan every contig (both strands) against every profile."""
+    """Scan every contig (both strands) against every profile.
+
+    Windows are batched up to ``batch_windows`` rows per device call (the
+    scan's throughput grows with batch size; shapes are bucketed to powers
+    of two to bound recompiles)."""
     rows: List[dict] = []
     codes = [c.codes for c in contigs]
     rc_codes = [np.asarray(encoding.revcomp(x)) for x in codes]
@@ -90,7 +101,7 @@ def nhmmer_search(
         for b0 in range(0, len(windows), batch_windows):
             chunk = windows[b0 : b0 + batch_windows]
             B = len(chunk)
-            Bp = batch_windows
+            Bp = _pad_pow2(B)
             seqs = np.full((Bp, T), encoding.N, dtype=np.int8)
             lens = np.zeros(Bp, np.int32)
             for i, w in enumerate(chunk):

@@ -123,13 +123,19 @@ def _pick4(vals, payloads):
     return best, picked
 
 
-@functools.partial(jax.jit, static_argnames=("model_len",))
+@functools.partial(jax.jit, static_argnames=("model_len", "delete_band"))
 def viterbi_scan(
     prof: DeviceProfile,
     seqs: jax.Array,       # [B, T] int8 (4 = N/pad)
     lengths: jax.Array,    # [B] int32
     model_len: int,
+    delete_band: int = 16,
 ) -> HmmHits:
+    """``delete_band`` bounds the within-row delete-chain closure: runs of
+    consecutive deletes longer than the band are not considered (log2(band)
+    shifted-max rounds instead of a full-width associative scan). In LOCAL
+    alignment a longer delete chain always scores worse than re-entry, so
+    a small band is exact in practice; pass 0 for the exact full scan."""
     B, T = seqs.shape
     Lp = prof.msc.shape[0]
     jcol = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
@@ -186,7 +192,9 @@ def viterbi_scan(
         I_js = jnp.where(ii == 0, state["M_js"], state["I_js"])
         I = jnp.where(in_model, ei + bestI, neg)
 
-        # D row: c[j-1] + exclusive-cummax_{i<=j-1}(M[t,i] + tMD[i] - c[i])
+        # D row: c[j-1] + max_{i<j}(M[t,i] + tMD[i] - c[i]) — closed either
+        # exactly (associative scan) or over a bounded trailing window via
+        # log2(band) shifted-max doubling rounds
         a = M + prof.tmd[None, :] - prof.cdd[None, :]
         a = jnp.where(in_model, a, neg)
 
@@ -200,9 +208,22 @@ def viterbi_scan(
                 jnp.where(take_l, ljs, rjs),
             )
 
-        cm, cm_ts, cm_js = jax.lax.associative_scan(
-            comb, (a, M_ts, M_js), axis=1
-        )
+        if delete_band and delete_band > 0:
+            cm, cm_ts, cm_js = a, M_ts, M_js
+            shift = 1
+            while shift < delete_band:
+                sh = lambda x, fill: jnp.concatenate(
+                    [jnp.full((x.shape[0], shift), fill, x.dtype), x[:, :-shift]],
+                    axis=1,
+                )
+                cm, cm_ts, cm_js = comb(
+                    (cm, cm_ts, cm_js), (sh(cm, NEG), sh(cm_ts, 0), sh(cm_js, 0))
+                )
+                shift *= 2
+        else:
+            cm, cm_ts, cm_js = jax.lax.associative_scan(
+                comb, (a, M_ts, M_js), axis=1
+            )
         cm = _shift_right(cm, NEG)
         D_ts = _shift_right(cm_ts, 0)
         D_js = _shift_right(cm_js, 0)

@@ -123,6 +123,7 @@ def run_findmitoscaf(
         ctx.cfg.search, records, ctx.profiles, ctx.cfg.annotate.clade,
         taxonomy=ctx.taxonomy, gene_code=ctx.gene_code,
         max_contig_len=ctx.cfg.annotate.max_contig_length,
+        basedir=wd.stage_dir("findmitoscaf"), prefix=ctx.cfg.run.workname,
     )
     out = wd.stage_file("findmitoscaf", "picked.fa")
     fasta.write_fasta(res.picked, out)
@@ -176,17 +177,39 @@ def run_visualize(
 
 
 @timed()
-def run_all(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None) -> Dict:
-    """The flagship end-to-end path (reference `all`, MitoFlex.py:266-312)."""
-    res = run_filter(ctx, fastq1, fastq2)
-    contigs = run_assemble(ctx, res.clean1, res.clean2)
-    picked = run_findmitoscaf(ctx, contigs)
+def run_all(
+    ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None,
+    resume: bool = False,
+) -> Dict:
+    """The flagship end-to-end path (reference `all`, MitoFlex.py:266-312).
+
+    ``resume`` skips stages whose manifest records existing outputs — the
+    explicit form of the reference's de-facto file-based resumability
+    (SURVEY.md §5 checkpoint/resume)."""
+
+    def cached(stage: str) -> Optional[list]:
+        if not resume or not ctx.workdir.stage_complete(stage):
+            return None
+        outs = ctx.workdir.read_manifest(stage)["outputs"]
+        logger.info(f"resume: skipping {stage} (outputs present: {outs})")
+        return outs
+
+    c = cached("cleandata")
+    if c:
+        clean1, clean2 = c[0], (c[1] if len(c) > 1 else None)
+    else:
+        res = run_filter(ctx, fastq1, fastq2)
+        clean1, clean2 = res.clean1, res.clean2
+    c = cached("assemble")
+    contigs = c[0] if c else run_assemble(ctx, clean1, clean2)
+    c = cached("findmitoscaf")
+    picked = c[0] if c else run_findmitoscaf(ctx, contigs)
     summary: Dict = {"picked": picked}
     if not ctx.cfg.annotate.disable_annotation:
         locs, locs_path = run_annotate(ctx, picked)
         summary["locs"] = locs_path
         if not ctx.cfg.visualize.disable_visualization:
-            outs = run_visualize(ctx, picked, locs, res.clean1, res.clean2)
+            outs = run_visualize(ctx, picked, locs, clean1, clean2)
             summary["plots"] = [o for o in outs if o.endswith(".png")]
     if not ctx.cfg.run.keep_temp:
         pass  # temp retained until post hook; caller decides

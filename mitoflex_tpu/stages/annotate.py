@@ -127,9 +127,8 @@ def _genewise_refine(
     out["wise_max_end"] = np.nan
     for i, (idx, ext_start, ext_end, clen, plus, prot) in enumerate(metas):
         cover = (int(qt[i]) - int(qf[i]) + 1) / max(prot.length, 1)
-        a = int(tf[i]) - 2 if int(tf[i]) >= 2 else int(tf[i])
-        # t coords are codon-start already (origin carried as t-2 of codon
-        # end); map window coords back to 1-based contig plus-strand coords
+        # t coords are codon-start/codon-end in the oriented window; map
+        # back to 1-based contig plus-strand coordinates
         w_from, w_to = int(tf[i]), int(tt[i])
         if plus:
             g_start = ext_start + w_from + 1
@@ -364,6 +363,9 @@ def annotate(
 
     if basedir:
         os.makedirs(basedir, exist_ok=True)
+        # debugging artifacts matching the reference's temp files
+        # ({prefix}.wise.csv, annotation_tookit.py:313)
+        wise_frame.to_csv(os.path.join(basedir, f"{prefix}.wise.csv"), index=False)
         with open(os.path.join(basedir, "locs.json"), "w") as f:
             json.dump(locs, f, indent=4, separators=(",", ": "))
         write_fasta(cds_records, os.path.join(basedir, f"{prefix}.annotated.cds.fa"))

@@ -209,6 +209,25 @@ def greedy_pcg_cover(
     return selected, sorted(set(selected_ids))
 
 
+def _write_artifacts(basedir, prefix, **named) -> None:
+    """Stage debugging artifacts matching the reference's temp files
+    ({prefix}.hmm.filtered.fa, .taxa.csv, .abundance.high/low.fa,
+    .candidates.json — findmitoscaf.py:142,169,185,330)."""
+    if not basedir:
+        return
+    os.makedirs(basedir, exist_ok=True)
+    for name, value in named.items():
+        path = os.path.join(basedir, f"{prefix}.{name}")
+        if name.endswith(".json"):
+            with open(path, "w") as f:
+                json.dump(value, f, sort_keys=True, indent=4,
+                          separators=(", ", ": "), default=str)
+        elif name.endswith(".csv"):
+            value.to_csv(path, index=False)
+        elif name.endswith(".fa"):
+            write_fasta(value, path)
+
+
 @timed()
 def findmitoscaf(
     cfg: SearchConfig,
@@ -218,6 +237,8 @@ def findmitoscaf(
     taxonomy: Optional[Taxonomy] = None,
     gene_code: int = 5,
     max_contig_len: int = 20000,
+    basedir: Optional[str] = None,
+    prefix: str = "mitoflex",
     _recurse: bool = False,
 ) -> FindMitoResult:
     if cfg.merge_method == 0 and not _recurse:
@@ -235,6 +256,8 @@ def findmitoscaf(
         )
     hmm_targets = set(hmm_frame.target)
     hmm_contigs = [c for c in contigs if c.id in hmm_targets]
+    if not _recurse:
+        _write_artifacts(basedir, prefix, **{"hmm.filtered.fa": hmm_contigs})
 
     if not cfg.disable_taxa and taxonomy is not None:
         try:
@@ -267,6 +290,12 @@ def findmitoscaf(
     logger.info(
         f"findmitoscaf: {len(high)} high / {len(low)} low abundance at multi={cfg.min_abundance}"
     )
+    if not _recurse:
+        _write_artifacts(
+            basedir, prefix,
+            **{"abundance.high.fa": high, "abundance.low.fa": low,
+               "taxa.csv": hmm_frame},
+        )
     if not high:
         raise RuntimeError("No contig passed the abundance filter!")
 
@@ -277,6 +306,8 @@ def findmitoscaf(
         cfg.full_ratio, cfg.min_valid_ratio,
     )
     picked = [contig_map[i] for i in selected_ids if i in contig_map]
+    if not _recurse:
+        _write_artifacts(basedir, prefix, **{"candidates.json": selected})
     found = [g for g in required_cds if selected.get(g)]
     missing = [g for g in required_cds if g not in found]
     logger.info(f"findmitoscaf: PCGs found: {found}")
