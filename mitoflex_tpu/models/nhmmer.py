@@ -108,12 +108,32 @@ def nhmmer_search(
                 arr = codes[w.contig_idx] if w.strand == 1 else rc_codes[w.contig_idx]
                 seqs[i, : w.length] = arr[w.offset : w.offset + w.length]
                 lens[i] = w.length
-            hits = phmm_ops.viterbi_scan(prof, jnp.asarray(seqs), jnp.asarray(lens), L)
+            # pass 1: scores only over all windows; pass 2: envelopes for
+            # the (few) windows that pass thresholds
+            pre = np.asarray(
+                phmm_ops.viterbi_scores(prof, jnp.asarray(seqs), jnp.asarray(lens), L)
+            )
+            pre_eval = phmm_ops.evalue(pre, mu, lam, n_targets)
+            passing = [
+                i for i in range(B)
+                if pre[i] >= score_threshold and pre_eval[i] <= e_threshold
+            ]
+            if not passing:
+                continue
+            Bp2 = _pad_pow2(len(passing))
+            seqs2 = np.full((Bp2, T), encoding.N, dtype=np.int8)
+            lens2 = np.zeros(Bp2, np.int32)
+            for j, i in enumerate(passing):
+                seqs2[j] = seqs[i]
+                lens2[j] = lens[i]
+            hits = phmm_ops.viterbi_scan(prof, jnp.asarray(seqs2), jnp.asarray(lens2), L)
             score = np.asarray(hits.score)
             sf, st = np.asarray(hits.seq_from), np.asarray(hits.seq_to)
             hf, ht = np.asarray(hits.hmm_from), np.asarray(hits.hmm_to)
             evals = phmm_ops.evalue(score, mu, lam, n_targets)
-            for i, w in enumerate(chunk):
+            for j, i in enumerate(passing):
+                w = chunk[i]
+                i = j  # index into the pass-2 arrays below
                 if score[i] < score_threshold or evals[i] > e_threshold:
                     continue
                 clen = len(codes[w.contig_idx])

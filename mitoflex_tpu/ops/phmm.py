@@ -257,6 +257,68 @@ def viterbi_scan(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("model_len", "delete_band"))
+def viterbi_scores(
+    prof: DeviceProfile,
+    seqs: jax.Array,
+    lengths: jax.Array,
+    model_len: int,
+    delete_band: int = 16,
+) -> jax.Array:
+    """Scores-only Viterbi sweep (no envelope carrying): ~3x fewer ops per
+    cell than viterbi_scan. The driver uses it as a first pass over all
+    windows and re-runs the full scan only on windows above threshold
+    (models/nhmmer.py)."""
+    B, T = seqs.shape
+    Lp = prof.msc.shape[0]
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
+    in_model = jcol < model_len
+    neg = jnp.float32(NEG)
+
+    def step(state, t):
+        M0, I0, D0, best = state
+        x = seqs[:, t].astype(jnp.int32)
+        x_valid = jnp.logical_and(x < 4, t < lengths)
+        em = jnp.where(x_valid[:, None], prof.msc[jcol, jnp.clip(x, 0, 3)[:, None]], neg)
+        ei = jnp.where(x_valid[:, None], prof.isc[jcol, jnp.clip(x, 0, 3)[:, None]], neg)
+        Mp = _shift_right(M0, NEG)
+        Ip = _shift_right(I0, NEG)
+        Dp = _shift_right(D0, NEG)
+        arr = jnp.maximum(
+            jnp.maximum(prof.entry, Mp + prof.tmm[None, :]),
+            jnp.maximum(Ip + prof.tim[None, :], Dp + prof.tdm[None, :]),
+        )
+        M = jnp.where(in_model, em + arr, neg)
+        I = jnp.where(
+            in_model,
+            ei + jnp.maximum(M0 + prof.tmi[None, :], I0 + prof.tii[None, :]),
+            neg,
+        )
+        a = jnp.where(in_model, M + prof.tmd[None, :] - prof.cdd[None, :], neg)
+        cm = a
+        shift = 1
+        while shift < max(delete_band, 2):
+            cm = jnp.maximum(
+                cm,
+                jnp.concatenate(
+                    [jnp.full((B, shift), NEG), cm[:, :-shift]], axis=1
+                ),
+            )
+            shift *= 2
+        cm = _shift_right(cm, NEG)
+        cdd_prev = _shift_right(prof.cdd[None, :], 0.0)
+        D = jnp.where(in_model, cm + cdd_prev, neg)
+        best = jnp.maximum(best, jnp.max(M, axis=1))
+        return (M, I, D, best), None
+
+    init = (
+        jnp.full((B, Lp), neg), jnp.full((B, Lp), neg), jnp.full((B, Lp), neg),
+        jnp.full((B,), neg),
+    )
+    (_, _, _, best), _ = jax.lax.scan(step, init, jnp.arange(T))
+    return best
+
+
 def evalue(score_bits: np.ndarray, mu: float, lam: float, n_targets: float) -> np.ndarray:
     """Gumbel tail: P(S >= x) ~= exp(-lambda * (x - mu)); E = n * P."""
     z = np.clip(-lam * (np.asarray(score_bits, dtype=np.float64) - mu), -700, 700)

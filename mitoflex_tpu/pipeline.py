@@ -34,6 +34,7 @@ class PipelineContext:
     workdir: WorkDir
     profiles: Optional[ProfileSet] = None
     taxonomy: Optional[Taxonomy] = None
+    mesh: object = None
 
     @classmethod
     def create(cls, cfg: PipelineConfig) -> "PipelineContext":
@@ -47,7 +48,19 @@ class PipelineContext:
         taxonomy = None
         if not cfg.search.disable_taxa:
             taxonomy = load_taxonomy(cfg.run.taxonomy_dump)
-        return cls(cfg, wd, profiles, taxonomy)
+        mesh = None
+        try:
+            import jax
+
+            n = len(jax.devices())
+            if n > 1 or cfg.run.mesh_shape:
+                from .parallel.mesh import make_mesh
+
+                mesh = make_mesh(cfg.run.mesh_shape, tuple(cfg.run.mesh_axes))
+                logger.info(f"pipeline: data mesh over {np.prod(mesh.devices.shape)} devices")
+        except Exception as e:
+            logger.warn(f"pipeline: mesh unavailable ({e}); running single-device")
+        return cls(cfg, wd, profiles, taxonomy, mesh)
 
     @property
     def gene_code(self) -> int:
@@ -68,7 +81,7 @@ def run_filter(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None):
     wd = ctx.workdir
     clean1 = wd.stage_file("cleandata", "clean.1.fq")
     clean2 = wd.stage_file("cleandata", "clean.2.fq") if fastq2 else None
-    res = filter_reads(ctx.cfg.filter, fastq1, clean1, fastq2, clean2)
+    res = filter_reads(ctx.cfg.filter, fastq1, clean1, fastq2, clean2, mesh=ctx.mesh)
     wd.write_manifest("cleandata", {
         "inputs": [fastq1] + ([fastq2] if fastq2 else []),
         "outputs": [res.clean1] + ([res.clean2] if res.clean2 else []),

@@ -83,12 +83,35 @@ def filter_reads(
     out1: str,
     fastq2: Optional[str] = None,
     out2: Optional[str] = None,
+    mesh=None,
 ) -> FilterResult:
-    """Run the filter stage. PE iff fastq2 is given."""
+    """Run the filter stage. PE iff fastq2 is given. With ``mesh`` the
+    per-batch kernel runs data-parallel across the mesh's devices
+    (parallel/mesh.py); batches stay host-fed either way."""
     limit = cfg.trimming * 1_000_000_000 if cfg.trimming else 0
     timer = StageTimer()
     dedup = _DedupSet() if (cfg.deduplication and fastq2) else None
     reads_in = reads_kept = bases_in = bases_kept = dups = 0
+
+    if mesh is not None:
+        from ..parallel import mesh as mesh_mod
+        import jax.numpy as jnp
+
+        def run_kernel(seqs, quals, lengths):
+            ds, dq, dl = mesh_mod.shard_batch(
+                mesh, jnp.asarray(seqs), jnp.asarray(quals),
+                jnp.asarray(lengths.astype(np.int32)),
+            )
+            return mesh_mod.filter_reads_sharded(
+                mesh, ds, dq, dl, cfg.ns_valve, cfg.quality_valve,
+                cfg.percentage_valve,
+            )
+    else:
+        def run_kernel(seqs, quals, lengths):
+            return filter_ops.filter_reads(
+                seqs, quals, lengths,
+                cfg.ns_valve, cfg.quality_valve, cfg.percentage_valve,
+            )
 
     if fastq2 is None:
         with fastq.FastqWriter(out1, cfg.compress_output) as w:
@@ -100,9 +123,8 @@ def filter_reads(
                     keep = np.ones(batch.capacity, dtype=bool)
                 else:
                     with timer.stage("device"):
-                        keep_d, _, _ = filter_ops.filter_reads(
-                            batch.seqs, batch.quals, batch.lengths,
-                            cfg.ns_valve, cfg.quality_valve, cfg.percentage_valve,
+                        keep_d, _, _ = run_kernel(
+                            batch.seqs, batch.quals, batch.lengths
                         )
                     keep = np.array(keep_d)
                 keep[batch.count:] = False
@@ -128,14 +150,8 @@ def filter_reads(
                     keep[b1.count:] = False
                 else:
                     with timer.stage("device"):
-                        k1, h1, h2 = filter_ops.filter_reads(
-                            b1.seqs, b1.quals, b1.lengths,
-                            cfg.ns_valve, cfg.quality_valve, cfg.percentage_valve,
-                        )
-                        k2, _, _ = filter_ops.filter_reads(
-                            b2.seqs, b2.quals, b2.lengths,
-                            cfg.ns_valve, cfg.quality_valve, cfg.percentage_valve,
-                        )
+                        k1, h1, h2 = run_kernel(b1.seqs, b1.quals, b1.lengths)
+                        k2, _, _ = run_kernel(b2.seqs, b2.quals, b2.lengths)
                     keep = np.array(np.logical_and(np.asarray(k1), np.asarray(k2)))
                     keep[b1.count:] = False
                     if dedup is not None:
