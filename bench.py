@@ -45,10 +45,11 @@ def main() -> int:
 
     def loop(iters):
         @jax.jit
-        def run(s, q, l):
+        def run(s, q, l, seed):
             def body(i, acc):
-                # perturb the input so no iteration can be cached or hoisted
-                s2 = s ^ (i & 3).astype(jnp.int8)
+                # perturb the input per iteration AND per invocation (seed):
+                # the remote platform caches results per (executable, inputs)
+                s2 = s ^ ((i + seed) & 3).astype(jnp.int8)
                 keep, h1, _ = kernel(s2, q, l, 10, 55, 0.2)
                 return acc + jnp.sum(keep.astype(jnp.int32)) + h1[0].astype(jnp.int32)
 
@@ -59,15 +60,21 @@ def main() -> int:
     run_1 = loop(1)
     iters = 50
     run_n = loop(iters)
+    seed = [100]
+
+    def call(fn):
+        seed[0] += 1
+        return int(fn(ds, dq, dl, np.int32(seed[0])))
+
     # warmup / compile
-    int(run_1(ds, dq, dl))
-    int(run_n(ds, dq, dl))
+    call(run_1)
+    call(run_n)
     # calibrate: measure 1 vs N to subtract dispatch+readback overhead
     t0 = time.perf_counter()
-    int(run_1(ds, dq, dl))
+    call(run_1)
     t_one = time.perf_counter() - t0
     t0 = time.perf_counter()
-    int(run_n(ds, dq, dl))
+    call(run_n)
     t_n = time.perf_counter() - t0
     per_iter = max((t_n - t_one) / (iters - 1), 1e-9)
     bases_per_sec = B * L / per_iter

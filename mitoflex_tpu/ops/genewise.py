@@ -90,6 +90,9 @@ def genewise_align(
     jcol = jax.lax.broadcasted_iota(jnp.int32, (B, Lq), 1)
     q_in = jcol < q_lens[:, None]
     qc = jnp.clip(queries, 0, K - 1).astype(jnp.int32)
+    # pre-gathered substitution rows; in-scan scores via one-hot matvec
+    # (in-scan table gathers are catastrophically slow on TPU)
+    spre = submat[qc]  # [B, Lq, K]
     ext_ramp = gap_extend * jcol.astype(jnp.float32)
 
     def shift_right(x, fill):
@@ -104,16 +107,15 @@ def genewise_align(
         sh=jnp.stack([zero_i] * 5),
         E_qs=jnp.stack([zero_i] * 3), E_ts=jnp.stack([zero_i] * 3),
         E_sh=jnp.stack([zero_i] * 3),
-        best=jnp.zeros((B,)),
-        b_qf=jnp.zeros((B,), jnp.int32), b_qt=jnp.zeros((B,), jnp.int32),
-        b_tf=jnp.zeros((B,), jnp.int32), b_tt=jnp.zeros((B,), jnp.int32),
-        b_sh=jnp.zeros((B,), jnp.int32),
+        bV=jnp.zeros((B, Lq)),
+        bV_qs=zero_i, bV_ts=zero_i, bV_sh=zero_i, bV_t=zero_i,
     )
 
     def step(st, t):
         aa = target_aa[:, t].astype(jnp.int32)
         t_valid = t < t_lens
-        s = submat[qc, jnp.clip(aa, 0, K - 1)[:, None]]
+        oh = jax.nn.one_hot(jnp.clip(aa, 0, K - 1), K, dtype=jnp.float32)
+        s = jnp.einsum("bk,bjk->bj", oh, spre)
         s = jnp.where(aa[:, None] == codon.STOP_CODE, -stop_penalty, s)
         valid = jnp.logical_and(q_in, t_valid[:, None])
         s = jnp.where(valid, s, NEG)
@@ -160,12 +162,16 @@ def genewise_align(
         pt.append(shift_right(st["E_ts"][0], 0))
         psh.append(shift_right(st["E_sh"][0], 0))
 
-        stack = jnp.stack(cands)
-        pick = jnp.argmax(stack, axis=0)
-        arr = jnp.take_along_axis(stack, pick[None], 0)[0]
-        sel = lambda lst: jnp.take_along_axis(jnp.stack(lst), pick[None], 0)[0]
+        # where-chain candidate selection (no stacked argmax+gather)
+        arr = cands[0]
+        H_qs, H_ts, H_sh = pq[0], pt[0], psh[0]
+        for c in range(1, len(cands)):
+            take = cands[c] > arr
+            H_qs = jnp.where(take, pq[c], H_qs)
+            H_ts = jnp.where(take, pt[c], H_ts)
+            H_sh = jnp.where(take, psh[c], H_sh)
+            arr = jnp.where(take, cands[c], arr)
         Hp = s + arr
-        H_qs, H_ts, H_sh = sel(pq), sel(pt), sel(psh)
 
         # F: protein gap (skip query residues, no DNA) — lazy-F prefix scan
         a = Hp + ext_ramp
@@ -188,10 +194,7 @@ def genewise_align(
         H_sh = jnp.where(use_f, shift_right(c_sh, 0), H_sh)
         H = jnp.where(valid, jnp.maximum(H, NEG), NEG)
 
-        endj = jnp.argmax(H, axis=1)
-        esc = jnp.take_along_axis(H, endj[:, None], 1)[:, 0]
-        better = esc > st["best"]
-        pick1 = lambda arr2: jnp.take_along_axis(arr2, endj[:, None], 1)[:, 0]
+        better = H > st["bV"]
         new = dict(
             Hs=jnp.concatenate([st["Hs"][1:], H[None]]),
             E=jnp.concatenate([st["E"][1:], E[None]]),
@@ -201,19 +204,20 @@ def genewise_align(
             E_qs=jnp.concatenate([st["E_qs"][1:], E_qs[None]]),
             E_ts=jnp.concatenate([st["E_ts"][1:], E_ts[None]]),
             E_sh=jnp.concatenate([st["E_sh"][1:], E_sh[None]]),
-            best=jnp.where(better, esc, st["best"]),
-            b_qf=jnp.where(better, pick1(H_qs), st["b_qf"]),
-            b_qt=jnp.where(better, endj.astype(jnp.int32), st["b_qt"]),
-            b_tf=jnp.where(better, pick1(H_ts), st["b_tf"]),
-            b_tt=jnp.where(better, jnp.int32(t), st["b_tt"]),
-            b_sh=jnp.where(better, pick1(H_sh), st["b_sh"]),
+            bV=jnp.where(better, H, st["bV"]),
+            bV_qs=jnp.where(better, H_qs, st["bV_qs"]),
+            bV_ts=jnp.where(better, H_ts, st["bV_ts"]),
+            bV_sh=jnp.where(better, H_sh, st["bV_sh"]),
+            bV_t=jnp.where(better, jnp.int32(t), st["bV_t"]),
         )
         return new, None
 
     st, _ = jax.lax.scan(step, init, jnp.arange(T))
+    endj = jnp.argmax(st["bV"], axis=1)
+    pick = lambda a: jnp.take_along_axis(a, endj[:, None], 1)[:, 0]
     return WiseHits(
-        score=st["best"],
-        q_from=st["b_qf"], q_to=st["b_qt"],
-        t_from=st["b_tf"], t_to=st["b_tt"],
-        n_shift=st["b_sh"],
+        score=pick(st["bV"]),
+        q_from=pick(st["bV_qs"]), q_to=endj.astype(jnp.int32),
+        t_from=pick(st["bV_ts"]), t_to=pick(st["bV_t"]),
+        n_shift=pick(st["bV_sh"]),
     )

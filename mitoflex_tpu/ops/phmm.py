@@ -112,14 +112,16 @@ def _shift_right(x, fill):
 
 
 def _pick4(vals, payloads):
-    """argmax over 4 stacked candidate arrays; returns (best, picked payloads)."""
-    stack = jnp.stack(vals)                      # [4, B, L]
-    idx = jnp.argmax(stack, axis=0)              # [B, L]
-    best = jnp.take_along_axis(stack, idx[None], axis=0)[0]
-    picked = []
-    for p in payloads:                           # p: list of 4 [B, L] arrays
-        ps = jnp.stack(p)
-        picked.append(jnp.take_along_axis(ps, idx[None], axis=0)[0])
+    """Max over 4 candidate arrays with payload selection via where-chains
+    (NO gathers: take_along_axis/argmax-gather lowers catastrophically on
+    TPU — ~200x slower than elementwise selects)."""
+    best = vals[0]
+    picked = [p[0] for p in payloads]
+    for c in range(1, len(vals)):
+        take = vals[c] > best
+        for i, p in enumerate(payloads):
+            picked[i] = jnp.where(take, p[c], picked[i])
+        best = jnp.where(take, vals[c], best)
     return best, picked
 
 
@@ -140,6 +142,8 @@ def viterbi_scan(
     Lp = prof.msc.shape[0]
     jcol = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
     in_model = jcol < model_len
+    msc_t = prof.msc.T  # [4, Lp]
+    isc_t = prof.isc.T
 
     neg = jnp.float32(NEG)
     init = dict(
@@ -147,18 +151,20 @@ def viterbi_scan(
         M_ts=jnp.zeros((B, Lp), jnp.int32), M_js=jnp.zeros((B, Lp), jnp.int32),
         I_ts=jnp.zeros((B, Lp), jnp.int32), I_js=jnp.zeros((B, Lp), jnp.int32),
         D_ts=jnp.zeros((B, Lp), jnp.int32), D_js=jnp.zeros((B, Lp), jnp.int32),
-        best=jnp.full((B,), neg),
-        b_sf=jnp.zeros((B,), jnp.int32), b_st=jnp.zeros((B,), jnp.int32),
-        b_hf=jnp.zeros((B,), jnp.int32), b_ht=jnp.zeros((B,), jnp.int32),
+        # per-column best-M-ever (final reduction happens outside the scan)
+        bV=jnp.full((B, Lp), neg),
+        bV_ts=jnp.zeros((B, Lp), jnp.int32), bV_js=jnp.zeros((B, Lp), jnp.int32),
+        bV_t=jnp.zeros((B, Lp), jnp.int32),
     )
 
     def step(state, t):
         x = seqs[:, t].astype(jnp.int32)                       # [B]
         x_valid = jnp.logical_and(x < 4, t < lengths)          # [B]
-        em = jnp.where(x_valid[:, None],
-                       prof.msc[jcol, jnp.clip(x, 0, 3)[:, None]], neg)
-        ei = jnp.where(x_valid[:, None],
-                       prof.isc[jcol, jnp.clip(x, 0, 3)[:, None]], neg)
+        # emissions via one-hot matmul (a [B,Lp] table gather per step is
+        # ~200x slower on TPU)
+        oh = jax.nn.one_hot(jnp.clip(x, 0, 3), 4, dtype=jnp.float32)
+        em = jnp.where(x_valid[:, None], oh @ msc_t, neg)
+        ei = jnp.where(x_valid[:, None], oh @ isc_t, neg)
 
         Mp = _shift_right(state["M"], NEG)     # M[t-1, j-1]
         Ip = _shift_right(state["I"], NEG)
@@ -184,12 +190,12 @@ def viterbi_scan(
         bestM, (M_ts, M_js) = _pick4(cand_vals, [ts_cands, js_cands])
         M = jnp.where(in_model, em + bestM, neg)
 
-        iv = [state["M"] + prof.tmi[None, :], state["I"] + prof.tii[None, :]]
-        stacked = jnp.stack(iv)
-        ii = jnp.argmax(stacked, axis=0)
-        bestI = jnp.take_along_axis(stacked, ii[None], axis=0)[0]
-        I_ts = jnp.where(ii == 0, state["M_ts"], state["I_ts"])
-        I_js = jnp.where(ii == 0, state["M_js"], state["I_js"])
+        iv_m = state["M"] + prof.tmi[None, :]
+        iv_i = state["I"] + prof.tii[None, :]
+        take_m = iv_m >= iv_i
+        bestI = jnp.where(take_m, iv_m, iv_i)
+        I_ts = jnp.where(take_m, state["M_ts"], state["I_ts"])
+        I_js = jnp.where(take_m, state["M_js"], state["I_js"])
         I = jnp.where(in_model, ei + bestI, neg)
 
         # D row: c[j-1] + max_{i<j}(M[t,i] + tMD[i] - c[i]) — closed either
@@ -230,30 +236,29 @@ def viterbi_scan(
         cdd_prev = _shift_right(prof.cdd[None, :], 0.0)
         D = jnp.where(in_model, cm + cdd_prev, neg)
 
-        # exit: E[t] = max_j M[t,j] (free local exit)
-        endj = jnp.argmax(M, axis=1)
-        escore = jnp.take_along_axis(M, endj[:, None], axis=1)[:, 0]
-        better = escore > state["best"]
-        best = jnp.where(better, escore, state["best"])
-        b_sf = jnp.where(better, jnp.take_along_axis(M_ts, endj[:, None], 1)[:, 0], state["b_sf"])
-        b_hf = jnp.where(better, jnp.take_along_axis(M_js, endj[:, None], 1)[:, 0], state["b_hf"])
-        b_st = jnp.where(better, jnp.int32(t), state["b_st"])
-        b_ht = jnp.where(better, endj.astype(jnp.int32) + 1, state["b_ht"])
+        # per-column best-M tracking — pure elementwise updates; the final
+        # over-columns reduction happens once, after the scan
+        better = M > state["bV"]
+        bV = jnp.where(better, M, state["bV"])
+        bV_ts = jnp.where(better, M_ts, state["bV_ts"])
+        bV_js = jnp.where(better, M_js, state["bV_js"])
+        bV_t = jnp.where(better, jnp.int32(t), state["bV_t"])
 
         new_state = dict(
             M=M, I=I, D=D, M_ts=M_ts, M_js=M_js, I_ts=I_ts, I_js=I_js,
-            D_ts=D_ts, D_js=D_js, best=best, b_sf=b_sf, b_st=b_st,
-            b_hf=b_hf, b_ht=b_ht,
+            D_ts=D_ts, D_js=D_js, bV=bV, bV_ts=bV_ts, bV_js=bV_js, bV_t=bV_t,
         )
         return new_state, None
 
     state, _ = jax.lax.scan(step, init, jnp.arange(T))
+    endj = jnp.argmax(state["bV"], axis=1)
+    pick = lambda a: jnp.take_along_axis(a, endj[:, None], 1)[:, 0]
     return HmmHits(
-        score=state["best"],
-        seq_from=state["b_sf"],
-        seq_to=state["b_st"],
-        hmm_from=state["b_hf"],
-        hmm_to=state["b_ht"],
+        score=pick(state["bV"]),
+        seq_from=pick(state["bV_ts"]),
+        seq_to=pick(state["bV_t"]),
+        hmm_from=pick(state["bV_js"]),
+        hmm_to=endj.astype(jnp.int32) + 1,
     )
 
 
@@ -274,13 +279,16 @@ def viterbi_scores(
     jcol = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
     in_model = jcol < model_len
     neg = jnp.float32(NEG)
+    msc_t = prof.msc.T
+    isc_t = prof.isc.T
 
     def step(state, t):
         M0, I0, D0, best = state
         x = seqs[:, t].astype(jnp.int32)
         x_valid = jnp.logical_and(x < 4, t < lengths)
-        em = jnp.where(x_valid[:, None], prof.msc[jcol, jnp.clip(x, 0, 3)[:, None]], neg)
-        ei = jnp.where(x_valid[:, None], prof.isc[jcol, jnp.clip(x, 0, 3)[:, None]], neg)
+        oh = jax.nn.one_hot(jnp.clip(x, 0, 3), 4, dtype=jnp.float32)
+        em = jnp.where(x_valid[:, None], oh @ msc_t, neg)
+        ei = jnp.where(x_valid[:, None], oh @ isc_t, neg)
         Mp = _shift_right(M0, NEG)
         Ip = _shift_right(I0, NEG)
         Dp = _shift_right(D0, NEG)

@@ -71,6 +71,10 @@ def sw_align(
     jcol = jax.lax.broadcasted_iota(jnp.int32, (B, Lq), 1)
     q_in = jcol < q_lens[:, None]
     qc = jnp.clip(queries, 0, K - 1).astype(jnp.int32)
+    # pre-gather each query's substitution rows ONCE; per-step scores are
+    # then a one-hot batched matvec (in-scan table gathers are ~200x slower
+    # on TPU)
+    spre = submat[qc]  # [B, Lq, K]
 
     ext_ramp = gap_extend * jcol.astype(jnp.float32)
 
@@ -84,16 +88,16 @@ def sw_align(
         H=jnp.zeros((B, Lq)), E=jnp.full((B, Lq), NEG),
         H_qs=zero_i, H_ts=zero_i, H_id=zero_i, H_nc=zero_i,
         E_qs=zero_i, E_ts=zero_i, E_id=zero_i, E_nc=zero_i,
-        best=jnp.full((B,), 0.0),
-        b_qf=jnp.zeros((B,), jnp.int32), b_qt=jnp.zeros((B,), jnp.int32),
-        b_tf=jnp.zeros((B,), jnp.int32), b_tt=jnp.zeros((B,), jnp.int32),
-        b_id=jnp.zeros((B,), jnp.int32), b_nc=jnp.zeros((B,), jnp.int32),
+        bV=jnp.zeros((B, Lq)),
+        bV_qs=zero_i, bV_ts=zero_i, bV_id=zero_i, bV_nc=zero_i,
+        bV_t=zero_i,
     )
 
     def step(st, t):
         x = targets[:, t].astype(jnp.int32)          # [B]
         t_valid = t < t_lens                          # [B]
-        s = submat[qc, jnp.clip(x, 0, K - 1)[:, None]]  # [B, Lq]
+        oh = jax.nn.one_hot(jnp.clip(x, 0, K - 1), K, dtype=jnp.float32)
+        s = jnp.einsum("bk,bjk->bj", oh, spre)
         valid = jnp.logical_and(q_in, t_valid[:, None])
         s = jnp.where(valid, s, NEG)
         is_match = jnp.logical_and(valid, qc == x[:, None])
@@ -164,30 +168,28 @@ def sw_align(
         H = jnp.maximum(H, 0.0)
         H = jnp.where(valid, H, 0.0)
 
-        # best update (exit anywhere)
-        endj = jnp.argmax(H, axis=1)
-        esc = jnp.take_along_axis(H, endj[:, None], 1)[:, 0]
-        better = esc > st["best"]
-        sel = lambda arr: jnp.take_along_axis(arr, endj[:, None], 1)[:, 0]
+        # per-column best tracking (elementwise); final argmax after the scan
+        better = H > st["bV"]
         new = dict(
             H=H, E=E, H_qs=H_qs, H_ts=H_ts, H_id=H_id, H_nc=H_nc,
             E_qs=E_qs, E_ts=E_ts, E_id=E_id, E_nc=E_nc,
-            best=jnp.where(better, esc, st["best"]),
-            b_qf=jnp.where(better, sel(H_qs), st["b_qf"]),
-            b_qt=jnp.where(better, endj.astype(jnp.int32), st["b_qt"]),
-            b_tf=jnp.where(better, sel(H_ts), st["b_tf"]),
-            b_tt=jnp.where(better, jnp.int32(t), st["b_tt"]),
-            b_id=jnp.where(better, sel(H_id), st["b_id"]),
-            b_nc=jnp.where(better, sel(H_nc), st["b_nc"]),
+            bV=jnp.where(better, H, st["bV"]),
+            bV_qs=jnp.where(better, H_qs, st["bV_qs"]),
+            bV_ts=jnp.where(better, H_ts, st["bV_ts"]),
+            bV_id=jnp.where(better, H_id, st["bV_id"]),
+            bV_nc=jnp.where(better, H_nc, st["bV_nc"]),
+            bV_t=jnp.where(better, jnp.int32(t), st["bV_t"]),
         )
         return new, None
 
     st, _ = jax.lax.scan(step, init, jnp.arange(Lt))
+    endj = jnp.argmax(st["bV"], axis=1)
+    pick = lambda a: jnp.take_along_axis(a, endj[:, None], 1)[:, 0]
     return SwHits(
-        score=st["best"],
-        q_from=st["b_qf"], q_to=st["b_qt"],
-        t_from=st["b_tf"], t_to=st["b_tt"],
-        n_ident=st["b_id"], n_cols=st["b_nc"],
+        score=pick(st["bV"]),
+        q_from=pick(st["bV_qs"]), q_to=endj.astype(jnp.int32),
+        t_from=pick(st["bV_ts"]), t_to=pick(st["bV_t"]),
+        n_ident=pick(st["bV_id"]), n_cols=pick(st["bV_nc"]),
     )
 
 

@@ -205,6 +205,74 @@ def _contigs_to_chunks(contigs: Sequence[Contig], kp1: int, row_len: int = 4096)
     return out
 
 
+def add_mercy_edges(
+    read_source, keys: np.ndarray, counts: np.ndarray, min_multi: int, k: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Read-path mercy rescue (megahit --no-mercy off; only at kmin,
+    assemble_wrapper.py:203-258): a sub-threshold (k+1)-mer is kept when
+    some READ carries it BETWEEN two solid (k+1)-mers — megahit's mercy
+    semantics, which bridges multi-k-mer coverage dips that pure
+    flank-adjacency cannot. Inputs must include ALL counts >= 1."""
+    import jax
+    import jax.numpy as jnp
+
+    solid_mask = counts >= min_multi
+    weak = ~solid_mask
+    if not weak.any() or not solid_mask.any():
+        return keys[solid_mask], counts[solid_mask]
+
+    solid = keys[solid_mask]
+    W = solid.shape[1]
+    cap = _pad_pow2(len(solid))
+    table = [np.full(cap, 0xFFFFFFFF, np.uint32) for _ in range(W)]
+    for w in range(W):
+        table[w][: len(solid)] = solid[:, w]
+    table_d = [jnp.asarray(t) for t in table]
+    n_solid = jnp.int32(len(solid))
+
+    mercy_runs: List[np.ndarray] = []
+    kp1 = k + 1
+    for seqs, lengths in read_source():
+        for strand_seqs, ra in ((seqs, False), (None, True)):
+            ds = jnp.asarray(seqs)
+            dl = jnp.asarray(lengths)
+            if ra:
+                ds = kmer_ops.revcomp_codes_padfront(ds)
+            words, valid = kmer_ops.extract_kmers(ds, dl, kp1, right_aligned=ra)
+            flat = [w.reshape(-1) for w in words]
+            idx = kmer_ops.multiword_searchsorted(table_d, flat, n_solid)
+            member = kmer_ops.multiword_equal_at(table_d, flat, idx, n_solid)
+            member = member.reshape(valid.shape) & valid
+            # between two solid k-mers on the same read
+            left = jax.lax.cummax(
+                jnp.where(member, jax.lax.broadcasted_iota(jnp.int32, member.shape, 1), -1),
+                axis=1,
+            ) >= 0
+            right = jax.lax.cummax(
+                jnp.where(member[:, ::-1],
+                          jax.lax.broadcasted_iota(jnp.int32, member.shape, 1), -1),
+                axis=1,
+            )[:, ::-1] >= 0
+            mercy_mask = np.asarray(valid & ~member & left & right)
+            if mercy_mask.any():
+                rows = np.stack(
+                    [np.asarray(w)[mercy_mask] for w in words], axis=1
+                )
+                mercy_runs.append(rows)
+    if not mercy_runs:
+        return keys[solid_mask], counts[solid_mask]
+    mercy_keys = np.unique(kmer_ops.np_keys_view(np.concatenate(mercy_runs)))
+    weak_v = kmer_ops.np_keys_view(keys[weak])
+    pos = np.minimum(np.searchsorted(mercy_keys, weak_v), len(mercy_keys) - 1)
+    rescued = mercy_keys[pos] == weak_v
+    n_mercy = int(rescued.sum())
+    if n_mercy:
+        logger.info(f"mercy: rescued {n_mercy} sub-threshold edges via read paths")
+    keep = solid_mask.copy()
+    keep[np.nonzero(weak)[0][rescued]] = True
+    return keys[keep], counts[keep]
+
+
 def _run_graph_pass(keys: np.ndarray, counts: np.ndarray, k: int) -> dbg_ops.GraphPass:
     E = len(keys)
     if E == 0:
@@ -430,9 +498,14 @@ def assemble(
                         yield seqs, lens2
 
         try:
+            # mercy edges only at kmin, like megahit (wrapper:203-258)
+            mercy_active = (not cfg.no_mercy) and i == 0
             keys, counts = count_edges(
-                source, k, cfg.min_multi, extra_contigs=contigs
+                source, k, 1 if mercy_active else cfg.min_multi,
+                extra_contigs=contigs,
             )
+            if mercy_active:
+                keys, counts = add_mercy_edges(source, keys, counts, cfg.min_multi, k)
             logger.info(f"assemble: k={k}: {len(keys)} solid (k+1)-mers")
             contigs = assemble_k(
                 keys, counts, k, cfg.prune_depth, cfg.prune_level,

@@ -19,16 +19,24 @@ sys.path.insert(0, ".")
 
 
 def _timed_loop(make_run, iters=20):
-    import jax
+    """Every invocation gets a fresh seed argument so the remote platform
+    cannot serve results from its (executable, inputs) cache."""
+    import numpy as np
 
-    int(make_run(1)())  # compile 1
+    run_1, run_n = make_run(1), make_run(iters)
+    seed = [100]
+
+    def call(fn):
+        seed[0] += 1
+        return int(fn(np.int32(seed[0])))
+
+    call(run_1)  # compile
+    call(run_n)
     t0 = time.perf_counter()
-    int(make_run(1)())
+    call(run_1)
     t1 = time.perf_counter() - t0
-    run_n = make_run(iters)
-    int(run_n())  # compile N
     t0 = time.perf_counter()
-    int(run_n())
+    call(run_n)
     tn = time.perf_counter() - t0
     return max((tn - t1) / (iters - 1), 1e-9)
 
@@ -48,9 +56,9 @@ def bench_filter():
 
     def make(iters):
         @jax.jit
-        def run():
+        def run(seed):
             def body(i, acc):
-                keep, h1, _ = kern(ds ^ (i & 3).astype(jnp.int8), dq, dl, 10, 55, 0.2)
+                keep, h1, _ = kern(ds ^ ((i + seed) & 3).astype(jnp.int8), dq, dl, 10, 55, 0.2)
                 return acc + jnp.sum(keep.astype(jnp.int32)) + h1[0].astype(jnp.int32)
 
             return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
@@ -75,10 +83,10 @@ def bench_kmer(k=31):
 
     def make(iters):
         @jax.jit
-        def run():
+        def run(seed):
             def body(i, acc):
-                uw, uc, nu = K.count_chunk(ds ^ (i & 3).astype(jnp.int8), dl, k)
-                return acc + nu
+                sw_, c_, st_, en_ = K.count_chunk_runs(ds ^ ((i + seed) & 3).astype(jnp.int8), dl, k)
+                return acc + c_[0].astype(jnp.int32) + st_[0].astype(jnp.int32)
 
             return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
@@ -104,9 +112,9 @@ def bench_viterbi():
 
     def make(iters):
         @jax.jit
-        def run():
+        def run(seed):
             def body(i, acc):
-                h = P.viterbi_scan(prof, ds ^ (i & 3).astype(jnp.int8), dl, 660)
+                h = P.viterbi_scan(prof, ds ^ ((i + seed) & 3).astype(jnp.int8), dl, 660)
                 return acc + h.seq_to[0] + h.score[0].astype(jnp.int32)
 
             return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
@@ -135,9 +143,9 @@ def bench_sw():
 
     def make(iters):
         @jax.jit
-        def run():
+        def run(seed):
             def body(i, acc):
-                h = SW.sw_align(q, ql, t ^ (i & 3).astype(jnp.int8), tl, sub, 12.0, 1.0)
+                h = SW.sw_align(q, ql, t ^ ((i + seed) & 3).astype(jnp.int8), tl, sub, 12.0, 1.0)
                 return acc + h.q_to[0] + h.score[0].astype(jnp.int32)
 
             return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
@@ -166,9 +174,9 @@ def bench_genewise():
 
     def make(iters):
         @jax.jit
-        def run():
+        def run(seed):
             def body(i, acc):
-                h = GW.genewise_align(q, ql, aa ^ (i & 3).astype(jnp.int8), tl, sub)
+                h = GW.genewise_align(q, ql, aa ^ ((i + seed) & 3).astype(jnp.int8), tl, sub)
                 return acc + h.q_to[0] + h.score[0].astype(jnp.int32)
 
             return jax.lax.fori_loop(0, iters, body, jnp.int32(0))

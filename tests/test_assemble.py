@@ -102,3 +102,38 @@ def test_assemble_stage_end_to_end(tmp_path, rng):
     assert len(best.seq) > 2300
     assert _contains(best.seq, genome)
     assert best.multi > 5
+
+
+def test_mercy_edges_bridge_coverage_dip(rng):
+    """A 1x-coverage gap inside an otherwise well-covered genome breaks the
+    contig without mercy; with mercy the weak bridging edges are rescued."""
+    from mitoflex_tpu.stages.assemble import add_mercy_edges, count_edges
+    from mitoflex_tpu.io import encoding
+
+    genome = synth.random_genome(rng, 900)
+    k = 21
+    # deep coverage on both flanks with a 3-base dip at ~400 crossed only
+    # by a single read: mercy rescues edges whose BOTH flanking k-mers
+    # border solid edges (a one/two-k-mer dip, megahit's mercy case)
+    left = [genome[i : i + 80] for i in range(0, 321, 8)] * 3
+    right = [genome[i : i + 80] for i in range(403, 724, 8)] * 3
+    bridge = [genome[330 : 480]]
+    reads = left + right + bridge
+
+    def src():
+        seqs = np.full((len(reads), 288), 4, np.int8)
+        lens = np.zeros(len(reads), np.int32)
+        for i, r in enumerate(reads):
+            seqs[i, : len(r)] = encoding.encode(r)
+            lens[i] = len(r)
+        yield seqs, lens
+
+    keys_all, counts_all = count_edges(src, k, 1)
+    solid_only = counts_all >= 3
+    merged_keys, merged_counts = add_mercy_edges(src, keys_all, counts_all, 3, k)
+    # mercy keeps more than the solid set but less than everything
+    assert solid_only.sum() < len(merged_keys) <= len(keys_all)
+    contigs = asm.assemble_k(merged_keys, merged_counts, k, 0, 0, min_standalone=100)
+    best = max(contigs, key=lambda c: len(c.seq))
+    # the bridge region is spanned in one contig
+    assert len(best.seq) > 700
