@@ -15,6 +15,15 @@ raise. Defaults mirror the reference's CLI defaults (arguments.py) and
 expert knobs (configurations.py) so behavior matches out of the box.
 ``--generate-config`` / ``--config`` parity is provided by
 :func:`generate_config` / :func:`load_config_file`.
+
+Reference knobs with no TPU analog (intentionally absent):
+- assemble.max_mem_percent / external_temp — megahit host-memory budgeting
+  and tmpfs staging; the engine streams fixed-shape device chunks.
+- assemble.disable_acc / one-pass CPU-feature paths — no CPU kernels.
+- assemble.max_thread_scaf / show_from_soap — SOAP thread-safety caps; the
+  scaffolder is deterministic device+host code.
+- universal --threads — accepted by the CLI for compatibility, ignored
+  (parallelism is device-count driven).
 """
 
 from __future__ import annotations

@@ -55,11 +55,17 @@ def _evalue(bits: np.ndarray, m: float, n: float) -> np.ndarray:
     return m * n * np.exp2(-np.asarray(bits))
 
 
-def _pad_rows(rows: List[np.ndarray], fill: int, pad_to: int = 8) -> Tuple[np.ndarray, np.ndarray]:
-    mx = max((len(r) for r in rows), default=pad_to)
-    mx = -(-mx // pad_to) * pad_to
-    out = np.full((len(rows), mx), fill, dtype=np.int8)
-    lens = np.zeros(len(rows), dtype=np.int32)
+def _pad_rows(rows: List[np.ndarray], fill: int, floor: int = 32) -> Tuple[np.ndarray, np.ndarray]:
+    """Pow2 shape bucketing (rows and width) to bound kernel recompiles."""
+    mx = max((len(r) for r in rows), default=floor)
+    width = floor
+    while width < mx:
+        width <<= 1
+    nrows = 1
+    while nrows < len(rows):
+        nrows <<= 1
+    out = np.full((nrows, width), fill, dtype=np.int8)
+    lens = np.zeros(nrows, dtype=np.int32)
     for i, r in enumerate(rows):
         out[i, : len(r)] = r
         lens[i] = len(r)
@@ -70,13 +76,14 @@ def _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend, fill, batch=64):
     """Align row i of q_rows vs row i of t_rows; returns numpy SwHits."""
     res = []
     for b0 in range(0, len(q_rows), batch):
+        n = len(q_rows[b0 : b0 + batch])
         qs, ql = _pad_rows(q_rows[b0 : b0 + batch], fill)
         ts, tl = _pad_rows(t_rows[b0 : b0 + batch], fill)
         hits = sw_ops.sw_align(
             jnp.asarray(qs), jnp.asarray(ql), jnp.asarray(ts), jnp.asarray(tl),
             jnp.asarray(submat), gap_open, gap_extend,
         )
-        res.append([np.asarray(x) for x in hits])
+        res.append([np.asarray(x)[:n] for x in hits])
     if not res:
         return None
     return [np.concatenate([r[i] for r in res]) for i in range(7)]

@@ -87,7 +87,11 @@ def nhmmer_search(
         L = hmm.length
         win = min(max(2 * L, 512), 8192)
         overlap = min(L, win // 2)
-        T = -(-win // 256) * 256
+        # pow2 window shapes: with pow2 model padding this caps the number
+        # of distinct compiled scan kernels per model family
+        T = 512
+        while T < win:
+            T <<= 1
 
         windows: List[_Window] = []
         for ci, c in enumerate(codes):

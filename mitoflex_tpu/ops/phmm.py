@@ -67,14 +67,23 @@ class DeviceProfile(NamedTuple):
     length: int        # real model length L
 
 
-def stage_profile(hmm: ProfileHMM, pad_to: int = 128) -> DeviceProfile:
+def stage_profile(hmm: ProfileHMM, pad_to: int = 0) -> DeviceProfile:
     """Convert a parsed model into padded device arrays.
 
     Index convention: arrays are indexed by j-1 (model node j in 1..L at
     row j-1). Transition vectors are aligned so that row j-1 holds the
-    transition INTO node j (i.e. t*(j-1) for M/I/D arrivals)."""
+    transition INTO node j (i.e. t*(j-1) for M/I/D arrivals).
+
+    With pad_to=0 (default) the padded length is the next power of two
+    (>=128): shape bucketing keeps the number of distinct compiled kernels
+    small across a model family."""
     L = hmm.length
-    Lp = -(-L // pad_to) * pad_to
+    if pad_to:
+        Lp = -(-L // pad_to) * pad_to
+    else:
+        Lp = 128
+        while Lp < L:
+            Lp <<= 1
     msc_full = hmm.match_scores_bits()      # [L+1, 4]
     isc_full = hmm.insert_scores_bits()
     tb = hmm.trans_bits()                   # [L+1, 7]
@@ -125,12 +134,12 @@ def _pick4(vals, payloads):
     return best, picked
 
 
-@functools.partial(jax.jit, static_argnames=("model_len", "delete_band"))
+@functools.partial(jax.jit, static_argnames=("delete_band",))
 def viterbi_scan(
     prof: DeviceProfile,
     seqs: jax.Array,       # [B, T] int8 (4 = N/pad)
     lengths: jax.Array,    # [B] int32
-    model_len: int,
+    model_len,             # traced scalar: compile key stays shape-only
     delete_band: int = 16,
 ) -> HmmHits:
     """``delete_band`` bounds the within-row delete-chain closure: runs of
@@ -262,12 +271,12 @@ def viterbi_scan(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("model_len", "delete_band"))
+@functools.partial(jax.jit, static_argnames=("delete_band",))
 def viterbi_scores(
     prof: DeviceProfile,
     seqs: jax.Array,
     lengths: jax.Array,
-    model_len: int,
+    model_len,             # traced scalar
     delete_band: int = 16,
 ) -> jax.Array:
     """Scores-only Viterbi sweep (no envelope carrying): ~3x fewer ops per

@@ -97,11 +97,16 @@ def _genewise_refine(
         t_rows.append(window)
         metas.append((r.Index, ext_start, ext_end, len(contig.seq), bool(r.plus), prot))
 
-    Lq = max(len(q) for q in q_rows)
-    Lt = max(len(t) for t in t_rows)
-    Lq = -(-Lq // 8) * 8
-    Lt = -(-Lt // 8) * 8
-    B = len(q_rows)
+    Lq0 = max(len(q) for q in q_rows)
+    Lt0 = max(len(t) for t in t_rows)
+    Lq, Lt = 32, 32
+    while Lq < Lq0:
+        Lq <<= 1
+    while Lt < Lt0:
+        Lt <<= 1
+    B = 1
+    while B < len(q_rows):
+        B <<= 1
     qa = np.full((B, Lq), codon.X_CODE, np.int8)
     ta = np.full((B, Lt), 4, np.int8)
     ql = np.zeros(B, np.int32)
