@@ -165,12 +165,18 @@ def count_chunk(
     return sort_count_unique(words, valid, wts)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "canonical"))
 def count_chunk_runs(
-    seqs: jax.Array, lengths: jax.Array, k: int
+    seqs: jax.Array, lengths: jax.Array, k: int, canonical: bool = False
 ):
-    """Fast-path both-strand UNWEIGHTED counting without on-device
-    compaction or extra sort operands.
+    """Fast-path UNWEIGHTED counting without on-device compaction or extra
+    sort operands.
+
+    With ``canonical=False`` both strands' k-mers enter the sort (2 rows
+    per window); with ``canonical=True`` each window contributes
+    min(kmer, revcomp(kmer)) — HALF the sort and transfer volume. The
+    canonical count equals the per-orientation count of the old scheme
+    except for palindromic k-mers (see expand_canonical).
 
     Validity is folded into the keys (invalid windows become the all-ones
     sentinel, which sorts last; a real all-T k-mer shares the key but the
@@ -187,14 +193,30 @@ def count_chunk_runs(
     rc = revcomp_codes_padfront(seqs)
     w_f, v_f = extract_kmers(seqs, lengths, k)
     w_r, v_r = extract_kmers(rc, lengths, k, right_aligned=True)
-    valid2 = [v_f, v_r]
-    words = [
-        jnp.concatenate([
-            jnp.where(v, w, jnp.uint32(0xFFFFFFFF)) for w, v in zip(pair, valid2)
-        ]).reshape(-1)
-        for pair in zip(w_f, w_r)
-    ]
-    valid = jnp.concatenate(valid2).reshape(-1)
+    if canonical:
+        # rc kmer of fwd window j sits at rc-column P-1-j: flip columns
+        w_rf = [w[:, ::-1] for w in w_r]
+        # elementwise lexicographic min over the word lists
+        take_f = jnp.zeros(v_f.shape, jnp.bool_)
+        eq = jnp.ones(v_f.shape, jnp.bool_)
+        for a, b in zip(w_f, w_rf):
+            take_f = jnp.logical_or(take_f, jnp.logical_and(eq, a < b))
+            eq = jnp.logical_and(eq, a == b)
+        take_f = jnp.logical_or(take_f, eq)
+        words = [
+            jnp.where(v_f, jnp.where(take_f, a, b), jnp.uint32(0xFFFFFFFF)).reshape(-1)
+            for a, b in zip(w_f, w_rf)
+        ]
+        valid = v_f.reshape(-1)
+    else:
+        valid2 = [v_f, v_r]
+        words = [
+            jnp.concatenate([
+                jnp.where(v, w, jnp.uint32(0xFFFFFFFF)) for w, v in zip(pair, valid2)
+            ]).reshape(-1)
+            for pair in zip(w_f, w_r)
+        ]
+        valid = jnp.concatenate(valid2).reshape(-1)
     n = valid.shape[0]
     W = len(words)
     s_words = list(jax.lax.sort(words, num_keys=W))
@@ -225,7 +247,7 @@ def count_chunk_runs(
 
 # ---------------------------------------------------------------- host merge
 def count_chunk_host(
-    seqs, lengths, k: int, weights=None
+    seqs, lengths, k: int, weights=None, canonical: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-facing counting: the unweighted hot path uses the run-length
     device pass + boolean-mask compaction here; the weighted path (contig
@@ -243,13 +265,61 @@ def count_chunk_host(
         keys = words_to_np_keys([np.asarray(x)[:nu] for x in uw])
         return keys, np.asarray(uc)[:nu].astype(np.uint64)
     s_words, counts, is_start, is_end = count_chunk_runs(
-        jnp.asarray(seqs), jnp.asarray(lengths), k
+        jnp.asarray(seqs), jnp.asarray(lengths), k, canonical
     )
     st = np.asarray(is_start)
     en = np.asarray(is_end)
     keys = np.stack([np.asarray(w)[st] for w in s_words], axis=1)
     cnt = np.asarray(counts)[en].astype(np.uint64)
     return keys, cnt
+
+
+def np_revcomp_keys(keys: np.ndarray, k: int) -> np.ndarray:
+    """Reverse-complement packed left-aligned k-mer keys [N, W] (host)."""
+    N, W = keys.shape
+    x = keys ^ np.uint32(0xFFFFFFFF)          # complement every base
+    # reverse 2-bit groups within each word
+    m2, m4, m8 = np.uint32(0x33333333), np.uint32(0x0F0F0F0F), np.uint32(0x00FF00FF)
+    x = ((x & m2) << np.uint32(2)) | ((x >> np.uint32(2)) & m2)
+    x = ((x & m4) << np.uint32(4)) | ((x >> np.uint32(4)) & m4)
+    x = ((x & m8) << np.uint32(8)) | ((x >> np.uint32(8)) & m8)
+    x = (x << np.uint32(16)) | (x >> np.uint32(16))
+    x = x[:, ::-1]                            # reverse word order
+    # re-left-align: shift the whole multiword left by (16W - k) bases
+    s = 2 * (BASES_PER_WORD * W - k)
+    ws, bs = divmod(s, 32)
+    out = np.zeros_like(x)
+    for i in range(W):
+        src = i + ws
+        if src < W:
+            out[:, i] = x[:, src] << np.uint32(bs) if bs else x[:, src]
+            if bs and src + 1 < W:
+                out[:, i] |= x[:, src + 1] >> np.uint32(32 - bs)
+    # zero pad bits beyond base k in the last word
+    used = 2 * (k - BASES_PER_WORD * (W - 1))
+    if used < 32:
+        out[:, W - 1] &= np.uint32(0xFFFFFFFF) << np.uint32(32 - used)
+    return out
+
+
+def expand_canonical(
+    keys: np.ndarray, counts: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Expand a canonical (key, count) table to both orientations, SORTED.
+
+    Palindromic k-mers (key == revcomp(key), possible for even k) get a
+    single row with DOUBLED count, matching the both-strand scheme where
+    each palindromic window contributed two identical entries."""
+    if len(keys) == 0:
+        return keys, counts
+    rc = np_revcomp_keys(keys, k)
+    palin = (keys == rc).all(axis=1)
+    out_keys = np.concatenate([keys, rc[~palin]])
+    out_counts = np.concatenate(
+        [np.where(palin, counts * 2, counts), counts[~palin]]
+    )
+    order = np.argsort(np_keys_view(out_keys), kind="stable")
+    return out_keys[order], out_counts[order]
 
 
 def words_to_np_keys(words: List[np.ndarray]) -> np.ndarray:

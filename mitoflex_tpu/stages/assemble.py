@@ -74,9 +74,10 @@ class KmerCounter:
     two accumulate), so total merge work is O(N log C) instead of the
     quadratic cost of merging every chunk into one growing table."""
 
-    def __init__(self, k: int, chunk_rows: int = 4096):
+    def __init__(self, k: int, chunk_rows: int = 4096, canonical: bool = False):
         self.k = k
         self.chunk_rows = chunk_rows
+        self.canonical = canonical
         self._levels: List[Optional[Tuple[np.ndarray, np.ndarray]]] = []
 
     def _push(self, run: Tuple[np.ndarray, np.ndarray]) -> None:
@@ -101,6 +102,7 @@ class KmerCounter:
         keys, counts = kmer_ops.count_chunk_host(
             seqs, lengths, self.k,
             np.asarray(weights, np.uint32) if weights is not None else None,
+            canonical=self.canonical and weights is None,
         )
         if len(keys) == 0:
             return
@@ -151,22 +153,27 @@ def count_edges(
     Contig k-mers are overlaid with max(), not summed: the reads they came
     from are still in the stream, so summing would double-count and inflate
     depth at every k iteration. Max keeps read-based multiplicities where
-    reads cover and contig depth only where contigs bridge (gap regions)."""
-    counter = KmerCounter(k + 1)
+    reads cover and contig depth only where contigs bridge (gap regions).
+
+    Reads are counted CANONICALLY (min of a window's two orientations —
+    half the sort/transfer volume; ops/kmer.py) and the table expanded to
+    both orientations here before the contig overlay and the gate."""
+    counter = KmerCounter(k + 1, canonical=True)
     for seqs, lengths in read_source():
         counter.add_chunk(seqs, lengths)
-    if not extra_contigs:
-        return counter.solid(min_multi)
-    ccounter = KmerCounter(k + 1)
-    for seqs, lengths, weights in _contigs_to_chunks(extra_contigs, k + 1):
-        # within contigs, overlay too (a kmer may repeat across contigs)
-        ccounter.add_chunk(seqs, lengths, weights)
     merged = counter._merged()
     if merged is None:
         rkeys = np.zeros((0, kmer_ops.num_words(k + 1)), np.uint32)
         rcounts = np.zeros(0, np.uint64)
     else:
-        rkeys, rcounts = merged
+        rkeys, rcounts = kmer_ops.expand_canonical(*merged, k + 1)
+    if not extra_contigs:
+        mask = rcounts >= min_multi
+        return rkeys[mask], rcounts[mask]
+    ccounter = KmerCounter(k + 1)
+    for seqs, lengths, weights in _contigs_to_chunks(extra_contigs, k + 1):
+        # within contigs, overlay too (a kmer may repeat across contigs)
+        ccounter.add_chunk(seqs, lengths, weights)
     ckeys, ccounts = ccounter.solid(1)
     keys, counts = kmer_ops.merge_sorted_counts(rkeys, rcounts, ckeys, ccounts, op="max")
     mask = counts >= min_multi

@@ -157,3 +157,35 @@ def test_revcomp_codes():
     assert encoding.decode(rc[0][:4]) == "ACGT"
     assert encoding.decode(rc[1][:3]) == "GTT"
     assert (rc[0][4:] == 4).all() and (rc[1][3:] == 4).all()
+
+
+def test_canonical_counting_expands_to_both_strand(rng):
+    """canonical count + expand == both-strand count, incl. a palindromic
+    k-mer (k even) and N windows."""
+    g = synth.random_genome(rng, 300)
+    # embed a palindromic 16-mer (revcomp of ACGTTGCA+rc construction)
+    half = "ACGTTGCA"
+    pal = half + encoding.revcomp_str(half)
+    reads = [g[i : i + 70] for i in range(0, 150, 9)] + [g[40:90] + pal + g[90:110], "ACGTNNA" + pal]
+    k = 16
+    seqs, lens = _to_batch(reads, 96)
+    # both-strand ground truth via the exact path
+    uw, uc, nu = kmer_ops.count_chunk(jnp.asarray(seqs), jnp.asarray(lens), k)
+    nu = int(nu)
+    keys_e = kmer_ops.words_to_np_keys([np.asarray(w)[:nu] for w in uw])
+    counts_e = np.asarray(uc)[:nu].astype(np.uint64)
+    # canonical + expansion
+    ck, cc = kmer_ops.count_chunk_host(seqs, lens, k, canonical=True)
+    xk, xc = kmer_ops.expand_canonical(ck, cc, k)
+    np.testing.assert_array_equal(xk, keys_e)
+    np.testing.assert_array_equal(xc, counts_e)
+
+
+def test_np_revcomp_keys_matches_string(rng):
+    for k in (17, 32, 33, 21):
+        W = kmer_ops.num_words(k)
+        s = synth.random_genome(rng, k)
+        key = np.array([pack_str(s, W)], dtype=np.uint32)
+        rc = kmer_ops.np_revcomp_keys(key, k)
+        want = np.array([pack_str(encoding.revcomp_str(s), W)], dtype=np.uint32)
+        np.testing.assert_array_equal(rc, want)
