@@ -171,7 +171,18 @@ def filter_reads(
     quality_valve: int,
     percentage_valve: float,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Dispatch: Pallas on TPU, jnp elsewhere (tests/CPU)."""
+    """Dispatch: Pallas on TPU, jnp elsewhere (tests/CPU).
+
+    MITOFLEX_DISABLE_PALLAS=1 forces the jnp path — an escape hatch for
+    environments whose Mosaic compile service is unavailable (the XLA path
+    is bit-identical, just not hand-scheduled)."""
+    import os
+
+    if os.environ.get("MITOFLEX_DISABLE_PALLAS") == "1":
+        return filter_reads_ref(
+            jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths),
+            ns_valve, quality_valve, percentage_valve,
+        )
     if jax.default_backend() in ("tpu", "axon"):
         return filter_reads_pallas(
             jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths),

@@ -42,13 +42,16 @@ class PipelineContext:
         logger.init(wd.log_path, cfg.run.log_level)
         try:
             # persistent XLA compilation cache: the scan kernels compile per
-            # shape bucket; pay that once per machine, not per run
+            # shape bucket; pay that once per machine, not per run.
+            # NOT on remote-compile platforms (axon): executable
+            # serialization hangs there.
             import jax
 
-            cache_dir = os.path.expanduser("~/.cache/mitoflex_tpu/xla")
-            os.makedirs(cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            if jax.default_backend() == "cpu":
+                cache_dir = os.path.expanduser("~/.cache/mitoflex_tpu/xla")
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:
             pass
         profiles = None
