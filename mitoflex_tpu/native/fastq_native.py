@@ -29,8 +29,9 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_SO) or (
-            os.path.getmtime(_SO) < os.path.getmtime(os.path.join(_DIR, "fastq_reader.cpp"))
+        srcs = [os.path.join(_DIR, f) for f in ("fastq_reader.cpp", "dedup.cpp")]
+        if not os.path.exists(_SO) or any(
+            os.path.getmtime(_SO) < os.path.getmtime(s) for s in srcs
         ):
             try:
                 subprocess.run(

@@ -56,24 +56,20 @@ def _trim_batch(batch: fastq.ReadBatch, keep_region: Tuple[int, int]) -> fastq.R
 
 class _DedupSet:
     """Host-side u64 dedup set over device-computed (h1, h2) hash pairs
-    (reference filter_bin PE dedup via u64 hash of seq1)."""
+    (reference filter_bin PE dedup via u64 hash of seq1). Backed by the
+    native open-addressing set (native/dedup.cpp) when built — a Python
+    set does not survive tens of millions of entries."""
 
     def __init__(self) -> None:
-        self._seen: Set[int] = set()
+        from ..native.dedup_native import NativeDedupSet
+
+        self._set = NativeDedupSet()
 
     def check_and_add(self, h1: np.ndarray, h2: np.ndarray, active: np.ndarray) -> np.ndarray:
         """Returns a bool mask: True where the read is NOT a duplicate.
         Only rows with ``active`` true are inserted."""
         keys = (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
-        out = np.ones(len(keys), dtype=bool)
-        seen = self._seen
-        for i in np.nonzero(active)[0]:
-            k = int(keys[i])
-            if k in seen:
-                out[i] = False
-            else:
-                seen.add(k)
-        return out
+        return self._set.check_and_add(keys, active)
 
 
 @timed()
