@@ -174,19 +174,20 @@ def trna_search(
 ) -> Tuple[Dict[str, CmHit], List[str]]:
     """Search all 22 tRNA models; returns ({amino[_n]: hit}, missing)."""
     gene_map_entries: List[CmHit] = []
+    by_id = {c.id: c for c in contigs}
     for key, model in trna_models.items():
-        for contig in contigs:
-            for fhit in _filter_scan(model, [contig], e_threshold=max(e_value, 1.0),
-                                     score_threshold=5.0):
-                refined = _cyk_refine(model, contig, fhit)
-                if refined is None:
-                    continue
-                amino = extract_anticodon(refined, gene_code)
-                if amino is None or amino == "*":
-                    continue
-                refined.amino = amino
-                refined.length = abs(refined.seqfrom - refined.seqto)
-                gene_map_entries.append(refined)
+        # one batched filter scan over ALL contigs per model
+        for fhit in _filter_scan(model, list(contigs), e_threshold=max(e_value, 1.0),
+                                 score_threshold=5.0):
+            refined = _cyk_refine(model, by_id[fhit.sequence], fhit)
+            if refined is None:
+                continue
+            amino = extract_anticodon(refined, gene_code)
+            if amino is None or amino == "*":
+                continue
+            refined.amino = amino
+            refined.length = abs(refined.seqfrom - refined.seqto)
+            gene_map_entries.append(refined)
 
     # position-sorted conflict sweep (annotation_tookit.py:437-470):
     # each hit enters the map twice (both endpoints)

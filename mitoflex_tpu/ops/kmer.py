@@ -245,6 +245,98 @@ def count_chunk_runs(
     return s_words, counts, is_start, is_end
 
 
+@functools.partial(jax.jit, static_argnames=("k", "canonical"))
+def count_chunk_device(
+    seqs: jax.Array, lengths: jax.Array, k: int, canonical: bool = True
+):
+    """Chunk counting producing a COMPACTED device run (sorted unique
+    words + counts + n_unique), the unit the device LSM merges. Compaction
+    uses the stable-sort trick (no gathers)."""
+    s_words, counts, is_start, is_end = count_chunk_runs(seqs, lengths, k, canonical)
+    W = len(s_words)
+    n = counts.shape[0]
+    flag = jnp.where(is_end, jnp.int32(0), jnp.int32(1))
+    compacted = jax.lax.sort(
+        [flag] + list(s_words) + [counts.astype(jnp.int32)],
+        num_keys=1, is_stable=True,
+    )
+    out_words, out_counts = compacted[1 : 1 + W], compacted[1 + W]
+    n_unique = jnp.sum(is_end.astype(jnp.int32))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    out_words = [
+        jnp.where(pos < n_unique, w, jnp.uint32(0xFFFFFFFF)) for w in out_words
+    ]
+    out_counts = jnp.where(pos < n_unique, out_counts, 0).astype(jnp.uint32)
+    return out_words, out_counts, n_unique
+
+
+@jax.jit
+def merge_runs_device(
+    a_words: List[jax.Array], a_counts: jax.Array, a_n: jax.Array,
+    b_words: List[jax.Array], b_counts: jax.Array, b_n: jax.Array,
+):
+    """Merge two sorted-unique device runs into one, summing counts of
+    equal keys. Fully gather-free: concat -> stable W-key sort (counts as
+    payload) -> run-combine via cumsum difference -> compaction via a
+    SECOND stable sort keyed on not-is-unique (payload permutation inside
+    lax.sort, no gathers).
+
+    Runs are (words [cap] x W uint32 sorted with 0xFFFFFFFF padding,
+    counts [cap] uint32, n valid). Output capacity = capA + capB.
+    This is the LSM building block that keeps the k-mer table HBM-resident
+    instead of round-tripping every chunk through the host."""
+    W = len(a_words)
+    words = [jnp.concatenate([a, b]) for a, b in zip(a_words, b_words)]
+    n = words[0].shape[0]
+    idx_a = jax.lax.broadcasted_iota(jnp.int32, (a_counts.shape[0], 1), 0).squeeze(-1)
+    idx_b = jax.lax.broadcasted_iota(jnp.int32, (b_counts.shape[0], 1), 0).squeeze(-1)
+    valid = jnp.concatenate([idx_a < a_n, idx_b < b_n])
+    counts = jnp.concatenate([a_counts, b_counts])
+    counts = jnp.where(valid, counts, 0)
+    # ensure padding sorts last even if caller padding was not all-ones
+    words = [jnp.where(valid, w, jnp.uint32(0xFFFFFFFF)) for w in words]
+    # validity tiebreaker key: within the all-ones block, real all-T rows
+    # must precede padding or a run could be split and double-emitted
+    inv = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
+
+    sorted_ops = jax.lax.sort(words + [inv, counts.astype(jnp.int32)], num_keys=W + 1)
+    s_words, s_cnt = sorted_ops[:W], sorted_ops[W + 1]
+
+    diff = jnp.zeros((n,), jnp.bool_)
+    for w in s_words:
+        diff = jnp.logical_or(
+            diff, jnp.concatenate([jnp.ones((1,), jnp.bool_), w[1:] != w[:-1]])
+        )
+    # number of valid rows: padding has count 0 and all-ones keys; a real
+    # all-T key also has all-ones words but nonzero count
+    s_valid = s_cnt > 0
+    # run-summed counts at each run's last valid row (cumsum difference)
+    cs = jnp.cumsum(s_cnt)
+    cs_prev = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs[:-1]])
+    prev_cs = jax.lax.cummax(jnp.where(diff, cs_prev, 0))
+    run_counts = cs - prev_cs
+    next_diff = jnp.concatenate([diff[1:], jnp.ones((1,), jnp.bool_)])
+    next_invalid = jnp.concatenate(
+        [jnp.logical_not(s_valid[1:]), jnp.ones((1,), jnp.bool_)]
+    )
+    is_end = jnp.logical_and(s_valid, jnp.logical_or(next_diff, next_invalid))
+    # compaction: stable sort on NOT-is_end brings one row per unique key
+    # (carrying the summed count) to the front, preserving key order
+    flag = jnp.where(is_end, jnp.int32(0), jnp.int32(1))
+    compacted = jax.lax.sort(
+        [flag] + list(s_words) + [run_counts.astype(jnp.int32)],
+        num_keys=1, is_stable=True,
+    )
+    out_words, out_counts = compacted[1 : 1 + W], compacted[1 + W]
+    n_unique = jnp.sum(is_end.astype(jnp.int32))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    out_words = [
+        jnp.where(pos < n_unique, w, jnp.uint32(0xFFFFFFFF)) for w in out_words
+    ]
+    out_counts = jnp.where(pos < n_unique, out_counts, 0).astype(jnp.uint32)
+    return out_words, out_counts, n_unique
+
+
 # ---------------------------------------------------------------- host merge
 def count_chunk_host(
     seqs, lengths, k: int, weights=None, canonical: bool = False

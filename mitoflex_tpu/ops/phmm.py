@@ -336,6 +336,40 @@ def viterbi_scores(
     return best
 
 
+def stack_profiles(profs: "list[DeviceProfile]") -> DeviceProfile:
+    """Stack same-shape staged profiles along a leading model axis for the
+    vmapped multi-model scan (all tRNA filter models share the 128 bucket)."""
+    assert len({p.msc.shape for p in profs}) == 1, "profiles must share a shape bucket"
+    return DeviceProfile(
+        *[jnp.stack([getattr(p, f) for p in profs]) for f in DeviceProfile._fields[:-1]],
+        profs[0].length,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("delete_band",))
+def viterbi_scores_multi(
+    profs: DeviceProfile,     # arrays stacked on a leading model axis [M, ...]
+    model_lens: jax.Array,    # [M]
+    seqs: jax.Array,          # [B, T] shared windows
+    lengths: jax.Array,       # [B]
+    delete_band: int = 16,
+) -> jax.Array:
+    """[M, B] best scores: every model scans every window in one call —
+    replaces M sequential scans (the 22-model tRNA filter sweep)."""
+
+    def one(msc, isc, tmm, tim, tdm, tmi, tii, tmd, cdd, entry, mlen):
+        # the .length metadata field is unused by the kernel (model_len is
+        # the traced per-model argument)
+        prof = DeviceProfile(msc, isc, tmm, tim, tdm, tmi, tii, tmd, cdd,
+                             entry, 0)
+        return viterbi_scores(prof, seqs, lengths, mlen, delete_band)
+
+    return jax.vmap(one)(
+        profs.msc, profs.isc, profs.tmm, profs.tim, profs.tdm,
+        profs.tmi, profs.tii, profs.tmd, profs.cdd, profs.entry, model_lens,
+    )
+
+
 def evalue(score_bits: np.ndarray, mu: float, lam: float, n_targets: float) -> np.ndarray:
     """Gumbel tail: P(S >= x) ~= exp(-lambda * (x - mu)); E = n * P."""
     z = np.clip(-lam * (np.asarray(score_bits, dtype=np.float64) - mu), -700, 700)

@@ -67,18 +67,24 @@ def _pad_pow2(n: int, floor: int = 1 << 12) -> int:
 
 
 class KmerCounter:
-    """Chunked device k-mer counting with hierarchical host merging.
+    """Chunked k-mer counting with a device-resident LSM.
 
-    Sorted (keys, counts) runs from each device chunk are collected and
-    merged pairwise like a merge-sort tail (runs at level i are merged when
-    two accumulate), so total merge work is O(N log C) instead of the
-    quadratic cost of merging every chunk into one growing table."""
+    Unweighted chunks are counted AND merged on device: each chunk yields a
+    compacted sorted-unique run (count_chunk_device); runs merge pairwise
+    like a binary counter (merge_runs_device — one W-key sort + one stable
+    compaction sort per merge, no gathers, no per-chunk host transfer).
+    Runs whose capacity would exceed ``max_device_rows`` spill to the host
+    once and continue merging there (merge_sorted_counts). Weighted chunks
+    (contig re-injection) always use the exact host path."""
 
-    def __init__(self, k: int, chunk_rows: int = 4096, canonical: bool = False):
+    def __init__(self, k: int, chunk_rows: int = 4096, canonical: bool = False,
+                 max_device_rows: int = 1 << 26):
         self.k = k
         self.chunk_rows = chunk_rows
         self.canonical = canonical
+        self.max_device_rows = max_device_rows
         self._levels: List[Optional[Tuple[np.ndarray, np.ndarray]]] = []
+        self._dev_levels: List[Optional[tuple]] = []  # (words list, counts, n)
 
     def _push(self, run: Tuple[np.ndarray, np.ndarray]) -> None:
         level = 0
@@ -94,22 +100,62 @@ class KmerCounter:
             run = kmer_ops.merge_sorted_counts(a[0], a[1], run[0], run[1])
             level += 1
 
+    def _pull(self, run) -> Tuple[np.ndarray, np.ndarray]:
+        words, counts, n = run
+        n = int(n)
+        keys = np.stack([np.asarray(w)[:n] for w in words], axis=1)
+        return keys, np.asarray(counts)[:n].astype(np.uint64)
+
+    def _push_device(self, run) -> None:
+        level = 0
+        while True:
+            if level == len(self._dev_levels):
+                self._dev_levels.append(run)
+                return
+            if self._dev_levels[level] is None:
+                self._dev_levels[level] = run
+                return
+            a = self._dev_levels[level]
+            self._dev_levels[level] = None
+            if a[1].shape[0] + run[1].shape[0] > self.max_device_rows:
+                # spill both to the host-side counter
+                self._push(self._pull(a))
+                self._push(self._pull(run))
+                return
+            run = kmer_ops.merge_runs_device(a[0], a[1], a[2], run[0], run[1], run[2])
+            level += 1
+
     def add_chunk(self, seqs: np.ndarray, lengths: np.ndarray,
                   weights: Optional[np.ndarray] = None) -> None:
         B, L = seqs.shape
         if L < self.k:
             return
-        keys, counts = kmer_ops.count_chunk_host(
-            seqs, lengths, self.k,
-            np.asarray(weights, np.uint32) if weights is not None else None,
-            canonical=self.canonical and weights is None,
-        )
-        if len(keys) == 0:
+        if weights is None:
+            run = kmer_ops.count_chunk_device(
+                jnp.asarray(seqs), jnp.asarray(lengths), self.k, self.canonical
+            )
+            self._push_device(run)
             return
-        self._push((keys, counts))
+        keys, counts = kmer_ops.count_chunk_host(
+            seqs, lengths, self.k, np.asarray(weights, np.uint32)
+        )
+        if len(keys):
+            self._push((keys, counts))
 
     def _merged(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        # merge remaining device levels down to one, then pull once
+        dev = None
+        for run in self._dev_levels:
+            if run is None:
+                continue
+            dev = run if dev is None else kmer_ops.merge_runs_device(
+                dev[0], dev[1], dev[2], run[0], run[1], run[2]
+            )
         acc = None
+        if dev is not None:
+            keys, counts = self._pull(dev)
+            if len(keys):
+                acc = (keys, counts)
         for run in self._levels:
             if run is None:
                 continue

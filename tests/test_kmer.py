@@ -189,3 +189,51 @@ def test_np_revcomp_keys_matches_string(rng):
         rc = kmer_ops.np_revcomp_keys(key, k)
         want = np.array([pack_str(encoding.revcomp_str(s), W)], dtype=np.uint32)
         np.testing.assert_array_equal(rc, want)
+
+
+def test_merge_runs_device_matches_host(rng):
+    """Device LSM merge == host sorted-run merge, incl. all-T/pad overlap."""
+    W = 2
+    def mk_run(nkeys, cap, seed):
+        r = np.random.default_rng(seed)
+        keys = r.integers(0, 2**32, (nkeys, W), dtype=np.uint32)
+        keys[0] = [0xFFFFFFFF, 0xFFFFFFFF]  # a real all-ones key
+        view = kmer_ops.np_keys_view(keys)
+        keys = keys[np.argsort(view)]
+        keys = keys[np.concatenate([[True], view[np.argsort(view)][1:] != view[np.argsort(view)][:-1]])]
+        counts = r.integers(1, 50, len(keys)).astype(np.uint64)
+        words = [np.full(cap, 0xFFFFFFFF, np.uint32) for _ in range(W)]
+        ccap = np.zeros(cap, np.uint32)
+        for w in range(W):
+            words[w][: len(keys)] = keys[:, w]
+        ccap[: len(keys)] = counts
+        return keys, counts, ([jnp.asarray(x) for x in words], jnp.asarray(ccap),
+                              jnp.int32(len(keys)))
+
+    ka, ca, run_a = mk_run(40, 64, 1)
+    kb, cb, run_b = mk_run(30, 64, 2)
+    # overlap some keys
+    mw, mc, mn = kmer_ops.merge_runs_device(*run_a, *run_b)
+    mn = int(mn)
+    got_keys = np.stack([np.asarray(w)[:mn] for w in mw], axis=1)
+    got_counts = np.asarray(mc)[:mn].astype(np.uint64)
+    want_keys, want_counts = kmer_ops.merge_sorted_counts(ka, ca, kb, cb)
+    np.testing.assert_array_equal(got_keys, want_keys)
+    np.testing.assert_array_equal(got_counts, want_counts)
+
+
+def test_count_chunk_device_matches_host(rng):
+    g = synth.random_genome(rng, 400)
+    reads = [r for r, _ in synth.shotgun_reads(rng, g, 40, read_len=70)]
+    k = 22
+    seqs, lens = _to_batch(reads, 80)
+    for canonical in (False, True):
+        words, counts, n = kmer_ops.count_chunk_device(
+            jnp.asarray(seqs), jnp.asarray(lens), k, canonical
+        )
+        n = int(n)
+        got_k = np.stack([np.asarray(w)[:n] for w in words], axis=1)
+        got_c = np.asarray(counts)[:n].astype(np.uint64)
+        want_k, want_c = kmer_ops.count_chunk_host(seqs, lens, k, canonical=canonical)
+        np.testing.assert_array_equal(got_k, want_k)
+        np.testing.assert_array_equal(got_c, want_c)

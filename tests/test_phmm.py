@@ -152,3 +152,33 @@ def test_real_profile_scan():
     top = plus.iloc[0]
     assert top.score > 50
     assert top.alifrom <= 5 and top.alito >= len(cons) - 5
+
+
+def test_viterbi_scores_multi_matches_loop(rng):
+    """The vmapped multi-model scores pass equals per-model scans."""
+    import jax.numpy as jnp
+    from mitoflex_tpu.ops.phmm import (stack_profiles, viterbi_scores,
+                                       viterbi_scores_multi, stage_profile)
+
+    models = [
+        hmm_models.profile_from_consensus(f"M{i}", synth.random_genome(rng, 20 + 7 * i))
+        for i in range(4)
+    ]
+    profs = [stage_profile(m) for m in models]
+    assert len({p.msc.shape for p in profs}) == 1
+    stacked = stack_profiles(profs)
+    B, T = 8, 256
+    seqs = rng.integers(0, 4, (B, T)).astype(np.int8)
+    # embed model 2's consensus in row 3
+    c = encoding.encode(models[2].consensus.upper())
+    seqs[3, 50 : 50 + len(c)] = c
+    lens = np.full(B, T, np.int32)
+    multi = np.asarray(viterbi_scores_multi(
+        stacked, jnp.asarray([m.length for m in models], np.int32),
+        jnp.asarray(seqs), jnp.asarray(lens),
+    ))
+    for i, p in enumerate(profs):
+        single = np.asarray(viterbi_scores(p, jnp.asarray(seqs), jnp.asarray(lens),
+                                           models[i].length))
+        np.testing.assert_allclose(multi[i], single, rtol=1e-5)
+    assert multi[2, 3] > 15
