@@ -7,21 +7,19 @@ minimum-multiplicity gate). Design:
 - k-mers are packed 2 bits/base into W = ceil(2k/32) uint32 words,
   LEFT-aligned (base 0 in the high bits of word 0), so word-wise
   lexicographic order equals base-string lexicographic order and a
-  multi-word sort via ``lax.sort(num_keys=W)`` orders k-mers correctly.
-  Since k is always odd (and k+1 never a multiple of 16), the all-ones
-  word pattern cannot encode a real k-mer; an explicit validity word is
-  still used as the primary sort key so padding never collides.
+  multi-word sort via ``lax.sort(num_keys=W)`` orders k-mers correctly;
 - extraction is a fan of shifted ORs over the [reads, len] code matrix —
   pure VPU work, one pass over HBM;
-- counting is sort → boundary-detect → segment_sum, all XLA primitives
-  that map to the TPU's sorting networks;
-- both strands are counted (each read contributes its forward and
-  reverse-complement k-mers), which keeps the de Bruijn graph explicitly
-  bidirected and removes canonical-form branching from the hot path.
-
-Cross-chunk and cross-chip merging happens in the driver
-(stages/assemble.py) by merging sorted runs; cross-chip histogram merge
-rides all_gather/psum over ICI (parallel/mesh.py).
+- the hot counting path (count_chunk_runs/count_chunk_device) is
+  CANONICAL (min of a window's two orientations — half the volume), folds
+  validity into all-ones sentinel keys, counts runs with cumsum/cummax
+  (no segment_sum scatter), and compacts with a stable flag-keyed sort
+  (no gathers — they are catastrophically slow on TPU);
+- cross-chunk merging is a device-resident LSM (merge_runs_device) with
+  host spill (stages/assemble.KmerCounter); the exact both-strand path
+  (sort_count_unique/count_chunk) remains for graph-node tables and
+  weighted contig re-injection;
+- cross-chip histogram merge rides all_gather over ICI (parallel/mesh.py).
 """
 
 from __future__ import annotations
