@@ -29,10 +29,9 @@ Reference knobs with no TPU analog (intentionally absent):
 from __future__ import annotations
 
 import dataclasses
-import json
 import runpy
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 
 def _parse_int_list(v) -> List[int]:

@@ -14,7 +14,6 @@ implementation as fallback — same record semantics.
 from __future__ import annotations
 
 import gzip
-import os
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
 

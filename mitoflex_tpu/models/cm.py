@@ -22,7 +22,6 @@ states cfirst/cnum are instead the LEFT and RIGHT child S states.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, TextIO, Tuple
 

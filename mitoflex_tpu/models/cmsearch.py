@@ -19,10 +19,9 @@ rrna_search:485-507, utility/bio/infernal.py):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..bio import wuss
@@ -31,7 +30,6 @@ from ..io.fasta import FastaRecord
 from ..models import cm as cm_models
 from ..models import codon
 from ..ops import cyk as cyk_ops
-from ..ops import phmm as phmm_ops
 from ..utils.logger import logger
 
 

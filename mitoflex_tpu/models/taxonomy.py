@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional
 
 # NOTE: the reference spells 'kindom' (sic) in its rank list
 # (findmitoscaf.py:64); we use the correct NCBI rank name 'kingdom' but keep

@@ -13,7 +13,6 @@ from typing import Iterable, Iterator, Optional, Tuple
 
 import numpy as np
 
-from ..io import encoding
 from ..io.fasta import FastaRecord
 
 

@@ -20,7 +20,7 @@ same for 1 chip, 1 host, or N hosts.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

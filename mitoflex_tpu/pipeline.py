@@ -10,7 +10,6 @@ record inputs/outputs for staleness checks.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 from dataclasses import dataclass
@@ -24,7 +23,6 @@ from .models.profiles import ProfileSet, get_profiles
 from .models.taxonomy import Taxonomy, load_taxonomy
 from .utils.helper import timed
 from .utils.logger import logger
-from .utils.seq import contig_header
 from .utils.workdir import WorkDir
 
 

@@ -23,7 +23,6 @@ megahit_core), rebuilt on the XLA graph engine (ops/kmer.py + ops/dbg.py):
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Iterable, List, Optional, Sequence, Tuple
 
@@ -36,7 +35,6 @@ from ..ops import dbg as dbg_ops
 from ..ops import kmer as kmer_ops
 from ..utils.helper import timed
 from ..utils.logger import logger
-from ..utils.seq import contig_header
 
 
 class EmptyGraph(Exception):
@@ -181,13 +179,6 @@ class KmerCounter:
         keys, counts = m
         mask = counts >= min_multi
         return keys[mask], counts[mask]
-
-
-def _iter_read_chunks(
-    reads: Iterable[Tuple[np.ndarray, np.ndarray]],
-) -> Iterable[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
-    for seqs, lengths in reads:
-        yield seqs, lengths, None
 
 
 def count_edges(

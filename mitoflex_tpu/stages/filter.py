@@ -9,9 +9,8 @@ fixed-shape batches and writes survivors back out.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
-from typing import Optional, Set, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

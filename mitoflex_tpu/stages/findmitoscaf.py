@@ -36,11 +36,10 @@ import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import numpy as np
 import pandas as pd
 
 from ..config import SearchConfig
-from ..io.fasta import FastaRecord, load_fasta, write_fasta
+from ..io.fasta import FastaRecord, write_fasta
 from ..models import blast as blast_models
 from ..models import nhmmer
 from ..models.profiles import ProfileSet

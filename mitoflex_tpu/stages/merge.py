@@ -21,7 +21,7 @@ merge_partial:510-590). The homology search runs on device
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import pandas as pd
 

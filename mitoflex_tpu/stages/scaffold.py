@@ -167,7 +167,6 @@ def scaffold_contigs(
             guard += 1
         # render
         parts: List[str] = []
-        total_multi = []
         pending_gap: Optional[int] = None
         for item in chain:
             if item[0] == "gap":
@@ -175,7 +174,6 @@ def scaffold_contigs(
                 continue
             ci2, ent = item
             seg = oriented_seq(ci2, ent)
-            total_multi.append(records[ci2].multi)
             if parts and pending_gap is not None:
                 tail = parts[-1][-200:]
                 head = seg[:200]

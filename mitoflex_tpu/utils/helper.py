@@ -11,7 +11,7 @@ from __future__ import annotations
 import functools
 import os
 import time
-from typing import Callable, Iterable, Iterator, Optional, TypeVar
+from typing import Callable, Iterable, Iterator, TypeVar
 
 from .logger import logger
 
