@@ -94,10 +94,12 @@ def graph_unitig_pass(
     prefix, suffix = edge_prefix_suffix(edge_words, k)
     cat = [jnp.concatenate([p, s]) for p, s in zip(prefix, suffix)]
     cat_valid = jnp.concatenate([evalid, evalid])
-    node_words, _, n_nodes = kmer_ops.sort_count_unique(cat, cat_valid)
+    # gather-free unique + sort-join (binary-search joins gather per
+    # iteration, which is catastrophically slow on TPU)
+    node_words, n_nodes = kmer_ops.unique_words_device(cat, cat_valid)
 
-    prefix_id = kmer_ops.multiword_searchsorted(node_words, prefix, n_nodes)
-    suffix_id = kmer_ops.multiword_searchsorted(node_words, suffix, n_nodes)
+    both_id = kmer_ops.multiword_join_sorted(node_words, n_nodes, cat)
+    prefix_id, suffix_id = both_id[:Ecap], both_id[Ecap:]
     prefix_id = jnp.where(evalid, prefix_id, Vcap - 1)
     suffix_id = jnp.where(evalid, suffix_id, Vcap - 1)
 

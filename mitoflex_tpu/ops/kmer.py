@@ -461,6 +461,68 @@ def merge_sorted_counts(
     return sk[new], out_counts
 
 
+@jax.jit
+def unique_words_device(words: List[jax.Array], valid: jax.Array):
+    """Gather-free sorted-unique of multiword keys: sentinel-fold + sort +
+    run-start flags + stable compaction sort. Returns (unique_words padded
+    with all-ones, n_unique)."""
+    W = len(words)
+    flat = [jnp.where(valid.reshape(-1), w.reshape(-1), jnp.uint32(0xFFFFFFFF))
+            for w in words]
+    v = valid.reshape(-1)
+    n = v.shape[0]
+    inv = jnp.where(v, jnp.uint32(0), jnp.uint32(1))
+    s = jax.lax.sort(flat + [inv], num_keys=W + 1)
+    s_words, s_inv = s[:W], s[W]
+    s_valid = s_inv == 0
+    diff = jnp.zeros((n,), jnp.bool_)
+    for w in s_words:
+        diff = jnp.logical_or(
+            diff, jnp.concatenate([jnp.ones((1,), jnp.bool_), w[1:] != w[:-1]])
+        )
+    is_new = jnp.logical_and(diff, s_valid)
+    flag = jnp.where(is_new, jnp.int32(0), jnp.int32(1))
+    comp = jax.lax.sort([flag] + list(s_words), num_keys=1, is_stable=True)
+    n_unique = jnp.sum(is_new.astype(jnp.int32))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    out = [jnp.where(pos < n_unique, w, jnp.uint32(0xFFFFFFFF)) for w in comp[1:]]
+    return out, n_unique
+
+
+@jax.jit
+def multiword_join_sorted(
+    table: List[jax.Array], table_n: jax.Array, queries: List[jax.Array]
+) -> jax.Array:
+    """Sort-based join: for each query key, the rank (dense id) of the
+    matching row in a SORTED-UNIQUE multiword table. Gather-free (two
+    lax.sorts; payloads ride the sorts). Assumes every VALID query key is
+    present in the table (graph-build invariant); rows smaller than every
+    table key get -1.
+
+    Returns [Q] int32 table ranks in the original query order."""
+    W = len(table)
+    Tn = table[0].shape[0]
+    Qn = queries[0].shape[0]
+    words = [jnp.concatenate([t, q]) for t, q in zip(table, queries)]
+    tag = jnp.concatenate([
+        jnp.zeros((Tn,), jnp.int32), jnp.ones((Qn,), jnp.int32)
+    ])
+    rank_t = jax.lax.broadcasted_iota(jnp.int32, (Tn, 1), 0).squeeze(-1)
+    # table padding rows must never win the cummax
+    rank_t = jnp.where(rank_t < table_n, rank_t, -1)
+    orig_q = jax.lax.broadcasted_iota(jnp.int32, (Qn, 1), 0).squeeze(-1)
+    payload = jnp.concatenate([rank_t, orig_q])
+    # sort by (key words, tag): an equal-key table row precedes its queries
+    s = jax.lax.sort(words + [tag, payload], num_keys=W + 1)
+    s_tag, s_payload = s[W], s[W + 1]
+    run_rank = jax.lax.cummax(jnp.where(s_tag == 0, s_payload, jnp.int32(-1)))
+    qid = jnp.where(s_tag == 1, run_rank, jnp.int32(-1))
+    # restore original query order: stable second sort by (tag, payload);
+    # the last Qn rows are the queries, ordered
+    s2 = jax.lax.sort([s_tag, s_payload, qid], num_keys=2)
+    return s2[2][Tn:]
+
+
 # ------------------------------------------------------- multiword searching
 def multiword_searchsorted(
     table: List[jax.Array], queries: List[jax.Array], table_size: jax.Array

@@ -148,7 +148,7 @@ def merge_sequences(
     """Global self-vs-self merge fixpoint (findmitoscaf.py:471-506)."""
     if len(records) <= 1:
         return records, index
-    while True:
+    for _ in range(16):  # fixpoint cap: each round must merge >=1 pair
         seqs = {r.id: r for r in records}
         frame = blast.blastn(records, records, skip_self=True)
         if frame.empty:
@@ -179,7 +179,7 @@ def merge_partial(
     contig set (findmitoscaf.py merge_partial:510-590). Returns (picked',
     db', merges)."""
     index = 0
-    while True:
+    for _ in range(16):  # fixpoint cap
         picked, index_merged = merge_sequences(
             picked, overlapped_len, search_range, max_length, index
         )

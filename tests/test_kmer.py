@@ -237,3 +237,40 @@ def test_count_chunk_device_matches_host(rng):
         want_k, want_c = kmer_ops.count_chunk_host(seqs, lens, k, canonical=canonical)
         np.testing.assert_array_equal(got_k, want_k)
         np.testing.assert_array_equal(got_c, want_c)
+
+
+def test_multiword_join_sorted(rng):
+    W = 2
+    table = rng.integers(0, 100, (50, W)).astype(np.uint32)
+    view = kmer_ops.np_keys_view(table)
+    order = np.argsort(view)
+    table = table[order]
+    keep = np.concatenate([[True], view[order][1:] != view[order][:-1]])
+    table = table[keep]
+    Tn = len(table)
+    cap = 64
+    padded = np.full((cap, W), 0xFFFFFFFF, np.uint32)
+    padded[:Tn] = table
+    # queries: members of the table, shuffled, with repeats
+    qidx = rng.integers(0, Tn, 40)
+    queries = table[qidx]
+    got = np.asarray(kmer_ops.multiword_join_sorted(
+        [jnp.asarray(padded[:, w]) for w in range(W)],
+        jnp.int32(Tn),
+        [jnp.asarray(queries[:, w]) for w in range(W)],
+    ))
+    np.testing.assert_array_equal(got, qidx)
+
+
+def test_unique_words_device(rng):
+    W = 2
+    raw = rng.integers(0, 8, (30, W)).astype(np.uint32)
+    valid = rng.random(30) > 0.2
+    words, n = kmer_ops.unique_words_device(
+        [jnp.asarray(raw[:, w]) for w in range(W)], jnp.asarray(valid)
+    )
+    n = int(n)
+    got = np.stack([np.asarray(w)[:n] for w in words], axis=1)
+    want = np.unique(kmer_ops.np_keys_view(raw[valid]))
+    assert n == len(want)
+    np.testing.assert_array_equal(kmer_ops.np_keys_view(got), want)
