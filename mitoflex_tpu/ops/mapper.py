@@ -10,9 +10,11 @@ whole path runs as one jitted XLA computation per read batch:
 
 - the contig set is indexed by exact 15-mers (30 bits -> one uint32 word,
   packed by ops/kmer.extract_kmers), sorted once with positions;
-- each read contributes sampled 15-mers on both strands; each seed looks
-  up the index (vectorized binary search) and yields up to ``max_mult``
-  (contig, diagonal) candidates;
+- each read contributes sampled 15-mers on both strands; seeds are
+  resolved against the index with SORT-BASED joins (a rank join + a
+  payload-fetch join, both gather-free — TPU gathers are catastrophically
+  slow, and a binary search is log2(T) sequential gather rounds), yielding
+  up to ``max_mult`` (contig, diagonal) candidates per seed;
 - candidates are sorted per read and the longest run (= most seeds
   agreeing on one diagonal) wins if it reaches ``min_votes`` and strictly
   beats the runner-up (q30-like uniqueness);
@@ -97,6 +99,89 @@ class MappedBatch:
     votes: np.ndarray      # [B] int32 supporting seeds
 
 
+def _last_valid_fill(has: jax.Array, *vals: jax.Array):
+    """Forward-fill: row i receives the values of the nearest row j <= i
+    with has[j] True. Associative "last valid" scan — the gather-free way
+    to propagate NON-monotone payloads along a sorted axis (monotone ones
+    can use lax.cummax instead)."""
+
+    def combine(a, b):
+        bh = b[0]
+        out = [jnp.logical_or(bh, a[0])]
+        for av, bv in zip(a[1:], b[1:]):
+            out.append(jnp.where(bh, bv, av))
+        return tuple(out)
+
+    return jax.lax.associative_scan(combine, (has,) + vals)
+
+
+def _rank_join(table_key: jax.Array, q: jax.Array) -> jax.Array:
+    """For each query key, the POSITION of the last table row with an equal
+    key (-1 if absent). Gather-free: one sort + two cummaxes + a restore
+    sort. Real keys must be non-negative int32 (15-mers are 30 bits);
+    NEGATIVE table keys are padding (position suppressed so they never win
+    the fill — they sort before every real key, so a leaked position would
+    poison the cummax for all queries). Query sentinel 2**30 never matches."""
+    T = table_key.shape[0]
+    Q = q.shape[0]
+    key_cat = jnp.concatenate([table_key, q])
+    tag = jnp.concatenate([jnp.zeros((T,), jnp.int32), jnp.ones((Q,), jnp.int32)])
+    pos_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).squeeze(-1)
+    pos_t = jnp.where(table_key >= 0, pos_t, -1)  # padding never wins
+    payload = jnp.concatenate([pos_t, jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0).squeeze(-1)])
+    s_key, s_tag, s_pay = jax.lax.sort([key_cat, tag, payload], num_keys=2)
+    # sorted by key => table keys are monotone; cummax is a valid fill
+    last_pos = jax.lax.cummax(jnp.where(s_tag == 0, s_pay, jnp.int32(-1)))
+    last_key = jax.lax.cummax(jnp.where(s_tag == 0, s_key, jnp.int32(-1)))
+    p = jnp.where(
+        jnp.logical_and(s_tag == 1, last_key == s_key), last_pos, jnp.int32(-1)
+    )
+    s2 = jax.lax.sort([s_tag, s_pay, p], num_keys=2)
+    return s2[2][T:]
+
+
+def _fetch_rows(
+    table_key: jax.Array, contig_of: jax.Array, pos_of: jax.Array,
+    desired: jax.Array, qkey: jax.Array,
+):
+    """Fetch (key-checked) table payloads at integer positions ``desired``
+    (-1 = skip) without gathers: sort the position requests against the
+    table's own positions, forward-fill payloads with a last-valid scan,
+    sort back. A candidate is valid iff the filled row is exactly the
+    desired position AND its key equals the query's key (run boundaries:
+    position p-j may hold a smaller key)."""
+    T = table_key.shape[0]
+    Q = desired.shape[0]
+    pos_cat = jnp.concatenate(
+        [jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).squeeze(-1), desired]
+    )
+    tag = jnp.concatenate([jnp.zeros((T,), jnp.int32), jnp.ones((Q,), jnp.int32)])
+    pay = jnp.concatenate(
+        [jnp.full((T,), -1, jnp.int32),
+         jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0).squeeze(-1)]
+    )
+    z = jnp.zeros((Q,), jnp.int32)
+    key_cat = jnp.concatenate([table_key, z])
+    con_cat = jnp.concatenate([contig_of, z])
+    tp_cat = jnp.concatenate([pos_of, z])
+    qk_cat = jnp.concatenate([jnp.full((T,), -1, jnp.int32), qkey])
+    s = jax.lax.sort(
+        [pos_cat, tag, pay, qk_cat, key_cat, con_cat, tp_cat], num_keys=2
+    )
+    s_pos, s_tag, s_pay, s_qk, s_key, s_con, s_tp = s
+    has, f_pos, f_key, f_con, f_tp = _last_valid_fill(
+        s_tag == 0, s_pos, s_key, s_con, s_tp
+    )
+    ok = jnp.logical_and(
+        jnp.logical_and(s_tag == 1, has),
+        jnp.logical_and(f_pos == s_pos, f_key == s_qk),
+    )
+    out_con = jnp.where(ok, f_con, jnp.int32(-1))
+    out_tp = jnp.where(ok, f_tp, jnp.int32(-1))
+    s2 = jax.lax.sort([s_tag, s_pay, out_con, out_tp], num_keys=2)
+    return s2[2][T:], s2[3][T:]
+
+
 @functools.partial(jax.jit, static_argnames=("min_votes", "step", "max_mult"))
 def _map_device(
     keys: jax.Array, contig_of: jax.Array, pos_of: jax.Array,
@@ -107,51 +192,63 @@ def _map_device(
     votes) device arrays."""
     B, L = seqs.shape
     rc = kmer_ops.revcomp_codes(seqs, lengths)
+    both = jnp.concatenate([seqs, rc], axis=0)              # [2B, L]
+    lens2 = jnp.concatenate([lengths, lengths])
 
-    def one_strand(batch):
-        words, valid = kmer_ops.extract_kmers(batch, lengths, K)
-        w = words[0][:, ::step]                      # [B, S]
-        v = valid[:, ::step]
-        S = w.shape[1]
-        offs = (jnp.arange(S, dtype=jnp.int32) * step)[None, :]
-        idx = jnp.searchsorted(keys, w)              # [B, S]
-        c_contig, c_diag, c_bad = [], [], []
-        for m in range(max_mult):
-            e = jnp.clip(idx + m, 0, keys.shape[0] - 1)
-            hit = jnp.logical_and(v, keys[e] == w)
-            c_contig.append(jnp.where(hit, contig_of[e], jnp.int32(2**28)))
-            c_diag.append(jnp.where(hit, pos_of[e] - offs, jnp.int32(2**28)))
-            c_bad.append(jnp.logical_not(hit))
-        contig_c = jnp.concatenate(c_contig, axis=1)  # [B, M]
-        diag_c = jnp.concatenate(c_diag, axis=1)
-        # lexicographic sort by (contig, diagonal): misses sort to the end
-        contig_s, diag_s = jax.lax.sort([contig_c, diag_c], num_keys=2, dimension=1)
-        M = contig_s.shape[1]
-        pos_i = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
-        same = jnp.logical_and(
-            contig_s[:, 1:] == contig_s[:, :-1], diag_s[:, 1:] == diag_s[:, :-1]
-        )
-        is_new = jnp.concatenate([jnp.ones((B, 1), bool), jnp.logical_not(same)], axis=1)
-        run_start = jnp.where(is_new, pos_i, 0)
-        run_start = jax.lax.cummax(run_start, axis=1)
-        run_len = pos_i - run_start + 1
-        run_len = jnp.where(contig_s < 2**28, run_len, 0)
-        is_end = jnp.concatenate([jnp.logical_not(same), jnp.ones((B, 1), bool)], axis=1)
-        end_len = jnp.where(is_end, run_len, 0)
-        top2, top_idx = jax.lax.top_k(end_len, 2)
-        best_votes = top2[:, 0]
-        second_votes = top2[:, 1]
-        contig = jnp.take_along_axis(contig_s, top_idx[:, :1], axis=1)[:, 0]
-        diag = jnp.take_along_axis(diag_s, top_idx[:, :1], axis=1)[:, 0]
-        ok = jnp.logical_and(best_votes >= min_votes, best_votes > second_votes)
-        return (
-            jnp.where(ok, contig, -1),
-            jnp.maximum(diag, 0),
-            best_votes,
-        )
+    words, valid = kmer_ops.extract_kmers(both, lens2, K)
+    w = words[0][:, ::step]                                  # [2B, S]
+    v = valid[:, ::step]
+    S = w.shape[1]
+    offs = (jnp.arange(S, dtype=jnp.int32) * step)
 
-    c_f, p_f, v_f = one_strand(seqs)
-    c_r, p_r, v_r = one_strand(rc)
+    # ---- seed resolution: rank join + payload-fetch join (no gathers) ----
+    qkey = jnp.where(v, w.astype(jnp.int32), jnp.int32(1 << 30)).reshape(-1)
+    tkey = keys.astype(jnp.int32)  # 30-bit keys; 0xFFFFFFFF padding -> -1,
+    # which sorts first as int32 with payload position -1 (harmless)
+    p = _rank_join(tkey, qkey)  # [2B*S]
+    desired = p[:, None] - jnp.arange(max_mult, dtype=jnp.int32)[None, :]
+    desired = jnp.where(p[:, None] >= 0, desired, jnp.int32(-1))
+    qkey_m = jnp.broadcast_to(qkey[:, None], desired.shape)
+    cand_con, cand_tp = _fetch_rows(
+        tkey, contig_of, pos_of, desired.reshape(-1), qkey_m.reshape(-1)
+    )
+    cand_con = cand_con.reshape(2 * B, S, max_mult)
+    cand_tp = cand_tp.reshape(2 * B, S, max_mult)
+    miss = cand_con < 0
+    MISS = jnp.int32(2 ** 28)
+    contig_c = jnp.where(miss, MISS, cand_con).reshape(2 * B, S * max_mult)
+    diag_c = jnp.where(
+        miss, MISS, cand_tp - offs[None, :, None]
+    ).reshape(2 * B, S * max_mult)
+
+    # ---- per-read diagonal voting -------------------------------------
+    # lexicographic sort by (contig, diagonal): misses sort to the end
+    contig_s, diag_s = jax.lax.sort([contig_c, diag_c], num_keys=2, dimension=1)
+    M = contig_s.shape[1]
+    pos_i = jax.lax.broadcasted_iota(jnp.int32, (2 * B, M), 1)
+    same = jnp.logical_and(
+        contig_s[:, 1:] == contig_s[:, :-1], diag_s[:, 1:] == diag_s[:, :-1]
+    )
+    is_new = jnp.concatenate([jnp.ones((2 * B, 1), bool), jnp.logical_not(same)], axis=1)
+    run_start = jnp.where(is_new, pos_i, 0)
+    run_start = jax.lax.cummax(run_start, axis=1)
+    run_len = pos_i - run_start + 1
+    run_len = jnp.where(contig_s < MISS, run_len, 0)
+    is_end = jnp.concatenate([jnp.logical_not(same), jnp.ones((2 * B, 1), bool)], axis=1)
+    end_len = jnp.where(is_end, run_len, 0)
+    best_votes = jnp.max(end_len, axis=1)
+    best_idx = jnp.argmax(end_len, axis=1)
+    sel = pos_i == best_idx[:, None]
+    second_votes = jnp.max(jnp.where(sel, jnp.int32(-1), end_len), axis=1)
+    contig = jnp.sum(jnp.where(sel, contig_s, 0), axis=1)
+    diag = jnp.sum(jnp.where(sel, diag_s, 0), axis=1)
+    ok = jnp.logical_and(best_votes >= min_votes, best_votes > second_votes)
+    contig = jnp.where(ok, contig, -1)
+    diag = jnp.maximum(diag, 0)
+
+    c_f, c_r = contig[:B], contig[B:]
+    p_f, p_r = diag[:B], diag[B:]
+    v_f, v_r = best_votes[:B], best_votes[B:]
     use_r = v_r > v_f
     contig = jnp.where(use_r, c_r, c_f)
     pos = jnp.where(use_r, p_r, p_f)
