@@ -8,9 +8,12 @@ vs_baseline is measured against that).
 Structure: the parent process never imports jax. It launches timeboxed
 child processes (this same file with ``--child``) that claim the device
 session, measure, and print the JSON line; the parent relays the last
-JSON line it sees. If the pallas attempt wedges (the remote Mosaic
-compile service serves one session at a time and can hang), the child is
-killed, the tunnel gets a cooldown, and a plain-XLA fallback child runs.
+JSON line it sees. The measured kernel is the framework's default filter
+dispatch (plain XLA — measured FASTER than the hand-written Pallas kernel,
+see ops/filter.py; set MITOFLEX_FORCE_PALLAS=1 to measure that one
+instead). If an attempt wedges (the remote compile tunnel serves one
+session at a time and can hang), the child is killed, the tunnel gets a
+cooldown, and the attempt is retried; a CPU child is the last resort.
 
 Measurement method (in the child): the kernel runs inside a device-side
 fori_loop with a per-iteration AND per-invocation input perturbation, and
@@ -52,7 +55,8 @@ def _child() -> int:
     ds, dq, dl = jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths)
 
     use_pallas = (
-        backend == "tpu" and os.environ.get("MITOFLEX_DISABLE_PALLAS") != "1"
+        backend == "tpu" and os.environ.get("MITOFLEX_FORCE_PALLAS") == "1"
+        and os.environ.get("MITOFLEX_DISABLE_PALLAS") != "1"
     )
     kernel = (
         filter_ops.filter_reads_pallas if use_pallas else filter_ops.filter_reads_ref
@@ -133,10 +137,10 @@ def main() -> int:
 
     line = _run_child({})
     if line is None:
-        print(f"# falling back to XLA kernel after {COOLDOWN_S}s cooldown",
-              file=sys.stderr)
+        print(f"# retrying after {COOLDOWN_S}s tunnel cooldown", file=sys.stderr)
         time.sleep(COOLDOWN_S)
-        line = _run_child({"MITOFLEX_DISABLE_PALLAS": "1"})
+        line = _run_child({"MITOFLEX_DISABLE_PALLAS": "1",
+                           "MITOFLEX_FORCE_PALLAS": "0"})
     if line is None:
         print("# all device attempts failed; reporting CPU-backend number",
               file=sys.stderr)

@@ -116,6 +116,12 @@ def nhmmer_search(
             pre = np.asarray(
                 phmm_ops.viterbi_scores(prof, jnp.asarray(seqs), jnp.asarray(lens), L)
             )
+            # NJC length-model correction: pass 1 has no envelope yet, so
+            # use the largest plausible alignment (least negative
+            # correction) to stay permissive; pass 2 re-corrects exactly
+            pre = pre[:B] + phmm_ops.length_correction_bits(
+                lens[:B], np.minimum(lens[:B], 2 * L)
+            )
             pre_eval = phmm_ops.evalue(pre, mu, lam, n_targets)
             passing = [
                 i for i in range(B)
@@ -133,6 +139,7 @@ def nhmmer_search(
             score = np.asarray(hits.score)
             sf, st = np.asarray(hits.seq_from), np.asarray(hits.seq_to)
             hf, ht = np.asarray(hits.hmm_from), np.asarray(hits.hmm_to)
+            score = score + phmm_ops.length_correction_bits(lens2, st - sf + 1)
             evals = phmm_ops.evalue(score, mu, lam, n_targets)
             for j, i in enumerate(passing):
                 w = chunk[i]

@@ -171,11 +171,15 @@ def filter_reads(
     quality_valve: int,
     percentage_valve: float,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Dispatch: Pallas on TPU, jnp elsewhere (tests/CPU).
+    """Dispatch: XLA everywhere by default; MITOFLEX_FORCE_PALLAS=1 selects
+    the hand-written Pallas kernel on TPU.
 
-    MITOFLEX_DISABLE_PALLAS=1 forces the jnp path — an escape hatch for
-    environments whose Mosaic compile service is unavailable (the XLA path
-    is bit-identical, just not hand-scheduled)."""
+    Measured with the honest device-loop harness on v5e (bench.py): the
+    fused XLA lowering runs at 130 Gbase/s vs 78 Gbase/s for the Pallas
+    kernel — Mosaic's missing unsigned reductions force int32 indicator
+    arithmetic that XLA's native fusion avoids, so XLA is the default until
+    the Pallas version is re-profiled (PLAN.md). The two are bit-identical.
+    MITOFLEX_DISABLE_PALLAS=1 still forces the XLA path regardless."""
     import os
 
     if os.environ.get("MITOFLEX_DISABLE_PALLAS") == "1":
@@ -183,7 +187,10 @@ def filter_reads(
             jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths),
             ns_valve, quality_valve, percentage_valve,
         )
-    if jax.default_backend() in ("tpu", "axon"):
+    if (
+        os.environ.get("MITOFLEX_FORCE_PALLAS") == "1"
+        and jax.default_backend() in ("tpu", "axon")
+    ):
         return filter_reads_pallas(
             jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths),
             ns_valve, quality_valve, percentage_valve,

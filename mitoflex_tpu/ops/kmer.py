@@ -523,6 +523,56 @@ def multiword_join_sorted(
     return s2[2][Tn:]
 
 
+@jax.jit
+def multiword_member_sorted(
+    table: List[jax.Array], table_n: jax.Array, queries: List[jax.Array]
+) -> jax.Array:
+    """Gather-free membership: for each multiword query key, whether it
+    appears among the first ``table_n`` rows of the sorted table. Unlike
+    :func:`multiword_join_sorted`, absent queries are fine (returns False).
+
+    Method: sort table+queries by (words, is_padding, tag) so that within
+    one equal-key run real table rows come first, then queries, then table
+    padding (all-ones rows beyond table_n — which can COLLIDE with a real
+    all-T key when 2(k+1) is a multiple of 32, so padding must be ordered
+    by the explicit flag, not by key). A query matches iff the FIRST row of
+    its key-run is a real table row; that bit is propagated run-internally
+    by a cummax over position-packed codes.
+
+    Returns [Q] bool in the original query order."""
+    W = len(table)
+    Tn = table[0].shape[0]
+    Qn = queries[0].shape[0]
+    n = Tn + Qn
+    words = [jnp.concatenate([t, q]) for t, q in zip(table, queries)]
+    pos_t = jax.lax.broadcasted_iota(jnp.int32, (Tn, 1), 0).squeeze(-1)
+    inv = jnp.concatenate([
+        jnp.where(pos_t < table_n, jnp.int32(0), jnp.int32(1)),
+        jnp.zeros((Qn,), jnp.int32),
+    ])
+    tag = jnp.concatenate([
+        jnp.zeros((Tn,), jnp.int32), jnp.ones((Qn,), jnp.int32)
+    ])
+    orig_q = jax.lax.broadcasted_iota(jnp.int32, (Qn, 1), 0).squeeze(-1)
+    payload = jnp.concatenate([jnp.zeros((Tn,), jnp.int32), orig_q])
+    s = jax.lax.sort(words + [inv, tag, payload], num_keys=W + 2)
+    s_words, s_inv, s_tag, s_pay = s[:W], s[W], s[W + 1], s[W + 2]
+    diff = jnp.zeros((n,), jnp.bool_)
+    for w in s_words:
+        diff = jnp.logical_or(
+            diff, jnp.concatenate([jnp.ones((1,), jnp.bool_), w[1:] != w[:-1]])
+        )
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    start_is_table = jnp.logical_and(s_tag == 0, s_inv == 0)
+    code = jnp.where(diff, pos * 2 + start_is_table.astype(jnp.int32), -1)
+    filled = jax.lax.cummax(code)
+    member = jnp.logical_and(s_tag == 1, (filled & 1) == 1)
+    s2 = jax.lax.sort(
+        [s_tag, s_pay, member.astype(jnp.int32)], num_keys=2
+    )
+    return s2[2][Tn:] == 1
+
+
 # ------------------------------------------------------- multiword searching
 def multiword_searchsorted(
     table: List[jax.Array], queries: List[jax.Array], table_size: jax.Array

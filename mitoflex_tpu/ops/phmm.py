@@ -23,9 +23,11 @@ so alignment envelopes come out of the forward pass with no traceback.
 The t loop is a lax.scan; everything inside is vectorized over
 [batch, model_len] on the VPU.
 
-Scores are in bits (log2-odds vs flat background), close to but not
-bit-identical with HMMER's (no NJC length model, no null2 bias
-correction); E-values use the model's STATS VITERBI gumbel.
+Kernel scores are in bits (log2-odds vs flat background) for the aligned
+region only; :func:`length_correction_bits` applies HMMER's NJC
+length-model correction host-side (callers add it before thresholding —
+models/nhmmer.py does). Remaining divergence from HMMER: no null2 bias
+composition correction. E-values use the model's STATS VITERBI gumbel.
 """
 
 from __future__ import annotations
@@ -375,3 +377,34 @@ def evalue(score_bits: np.ndarray, mu: float, lam: float, n_targets: float) -> n
     z = np.clip(-lam * (np.asarray(score_bits, dtype=np.float64) - mu), -700, 700)
     p = np.exp(z)
     return np.minimum(n_targets * p, n_targets)
+
+
+def length_correction_bits(target_len, ali_len) -> np.ndarray:
+    """HMMER's NJC length-model score correction, in bits (host-side).
+
+    The core Viterbi kernel scores the ALIGNED region only (uniform local
+    entry, free exit, flat background). HMMER's reported bit score
+    additionally charges the special states and credits the null model,
+    both parameterized by the target length L (p7_profile_SetLength /
+    p7_bg_SetLength semantics, multihit mode):
+
+    - each unaligned residue loops in N or C at probability L/(L+3)
+      (emissions cancel against null1),
+    - the N->B and C->T moves each cost log(3/(L+3)), the E->C move
+      log(1/2),
+    - the null1 length score L*log(L/(L+1)) + log(1/(L+1)) is subtracted.
+
+    Single-hit assumption (no J-state passes), which is what the pipeline's
+    per-window consumers see. Apply as ``score + length_correction_bits``.
+    Vectorized over numpy inputs; target_len is the scanned window length,
+    ali_len the alignment span (seq_to - seq_from + 1)."""
+    Lw = np.maximum(np.asarray(target_len, np.float64), 1.0)
+    d = np.clip(np.asarray(ali_len, np.float64), 0.0, Lw)
+    ln = np.log
+    special = (
+        (Lw - d) * ln(Lw / (Lw + 3.0))
+        + 2.0 * ln(3.0 / (Lw + 3.0))
+        + ln(0.5)
+    )
+    null1 = Lw * ln(Lw / (Lw + 1.0)) + ln(1.0 / (Lw + 1.0))
+    return (special - null1) / ln(2.0)

@@ -284,8 +284,9 @@ def add_mercy_edges(
                 ds = kmer_ops.revcomp_codes_padfront(ds)
             words, valid = kmer_ops.extract_kmers(ds, dl, kp1, right_aligned=ra)
             flat = [w.reshape(-1) for w in words]
-            idx = kmer_ops.multiword_searchsorted(table_d, flat, n_solid)
-            member = kmer_ops.multiword_equal_at(table_d, flat, idx, n_solid)
+            # gather-free membership (a binary search is log2(T) sequential
+            # gather rounds — catastrophic on TPU)
+            member = kmer_ops.multiword_member_sorted(table_d, n_solid, flat)
             member = member.reshape(valid.shape) & valid
             # between two solid k-mers on the same read
             left = jax.lax.cummax(

@@ -274,3 +274,53 @@ def test_unique_words_device(rng):
     want = np.unique(kmer_ops.np_keys_view(raw[valid]))
     assert n == len(want)
     np.testing.assert_array_equal(kmer_ops.np_keys_view(got), want)
+
+
+def test_multiword_member_sorted(rng):
+    W = 2
+    table = rng.integers(0, 60, (40, W)).astype(np.uint32)
+    view = kmer_ops.np_keys_view(table)
+    order = np.argsort(view)
+    table = table[order]
+    keep = np.concatenate([[True], view[order][1:] != view[order][:-1]])
+    table = table[keep]
+    Tn = len(table)
+    cap = 64
+    padded = np.full((cap, W), 0xFFFFFFFF, np.uint32)
+    padded[:Tn] = table
+    # half members, half foreign keys
+    members = table[rng.integers(0, Tn, 25)]
+    foreign = rng.integers(100, 200, (25, W)).astype(np.uint32)
+    queries = np.concatenate([members, foreign])
+    perm = rng.permutation(len(queries))
+    queries = queries[perm]
+    want = perm < 25
+    got = np.asarray(kmer_ops.multiword_member_sorted(
+        [jnp.asarray(padded[:, w]) for w in range(W)],
+        jnp.int32(Tn),
+        [jnp.asarray(queries[:, w]) for w in range(W)],
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_multiword_member_sorted_all_ones_collision():
+    """An all-0xFFFFFFFF QUERY key (the all-T (k+1)-mer when 2(k+1) is a
+    multiple of 32, e.g. k=15 or k=31) must NOT match table PADDING —
+    only a real table row with that key."""
+    W = 1
+    padded = np.full((8, W), 0xFFFFFFFF, np.uint32)
+    padded[0, 0] = 5
+    padded[1, 0] = 9
+    Tn = 2
+    q = np.array([[0xFFFFFFFF], [5], [7]], np.uint32)
+    got = np.asarray(kmer_ops.multiword_member_sorted(
+        [jnp.asarray(padded[:, 0])], jnp.int32(Tn), [jnp.asarray(q[:, 0])]
+    ))
+    np.testing.assert_array_equal(got, [False, True, False])
+    # and when the all-T key IS a real row, it must match
+    padded2 = padded.copy()
+    padded2[2, 0] = 0xFFFFFFFF
+    got2 = np.asarray(kmer_ops.multiword_member_sorted(
+        [jnp.asarray(padded2[:, 0])], jnp.int32(3), [jnp.asarray(q[:, 0])]
+    ))
+    np.testing.assert_array_equal(got2, [True, True, False])
