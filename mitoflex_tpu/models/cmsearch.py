@@ -54,24 +54,44 @@ class CmHit:
         return min(self.seqfrom, self.seqto), max(self.seqfrom, self.seqto)
 
 
-def _filter_scan(
-    model: cm_models.CovarianceModel,
+def _filter_scan_multi(
+    models: Dict[str, cm_models.CovarianceModel],
     contigs: Sequence[FastaRecord],
     e_threshold: float,
     score_threshold: float = 0.0,
-) -> List[CmHit]:
-    """Scan contigs (both strands) with the CM's embedded p7 filter."""
-    hmm = model.filter_hmm
-    if hmm is None:
-        return []
+) -> Dict[str, List[CmHit]]:
+    """Scan contigs (both strands) with every CM's embedded p7 filter in
+    ONE nhmmer_search call: same-bucket filter models (all 22 tRNAs) are
+    stacked into a single vmapped pass-1 device scan instead of 22
+    sequential scans."""
     from . import nhmmer
 
+    keyed: List[Tuple[str, cm_models.CovarianceModel]] = [
+        (key, m) for key, m in models.items() if m.filter_hmm is not None
+    ]
+    out: Dict[str, List[CmHit]] = {key: [] for key, _ in keyed}
+    if not keyed:
+        return out
+    # nhmmer rows come back tagged by the filter HMM's NAME; map it to the
+    # model key (names are unique per profile directory — guard anyway)
+    by_name: Dict[str, str] = {}
+    for key, m in keyed:
+        name = m.filter_hmm.name
+        if name in by_name:
+            logger.warning(
+                f"duplicate filter-HMM name {name}; keeping first mapping"
+            )
+            continue
+        by_name[name] = key
     frame = nhmmer.nhmmer_search(
-        list(contigs), [hmm], e_threshold=e_threshold, score_threshold=score_threshold
+        list(contigs), [m.filter_hmm for _, m in keyed],
+        e_threshold=e_threshold, score_threshold=score_threshold,
     )
-    hits = []
     for _, r in frame.iterrows():
-        hits.append(
+        key = by_name.get(r.query)
+        if key is None:
+            continue
+        out[key].append(
             CmHit(
                 sequence=r.target,
                 score=float(r.score),
@@ -83,7 +103,19 @@ def _filter_scan(
                 mdlto=int(r.hmmto),
             )
         )
-    return hits
+    return out
+
+
+def _filter_scan(
+    model: cm_models.CovarianceModel,
+    contigs: Sequence[FastaRecord],
+    e_threshold: float,
+    score_threshold: float = 0.0,
+) -> List[CmHit]:
+    """Single-model convenience wrapper over :func:`_filter_scan_multi`."""
+    return _filter_scan_multi(
+        {"_": model}, contigs, e_threshold, score_threshold
+    )["_"]
 
 
 def _cyk_refine(
@@ -173,10 +205,13 @@ def trna_search(
     """Search all 22 tRNA models; returns ({amino[_n]: hit}, missing)."""
     gene_map_entries: List[CmHit] = []
     by_id = {c.id: c for c in contigs}
+    # ONE stacked filter scan: all 22 models x all contigs x both strands
+    all_fhits = _filter_scan_multi(
+        trna_models, list(contigs), e_threshold=max(e_value, 1.0),
+        score_threshold=5.0,
+    )
     for key, model in trna_models.items():
-        # one batched filter scan over ALL contigs per model
-        for fhit in _filter_scan(model, list(contigs), e_threshold=max(e_value, 1.0),
-                                 score_threshold=5.0):
+        for fhit in all_fhits.get(key, []):
             refined = _cyk_refine(model, by_id[fhit.sequence], fhit)
             if refined is None:
                 continue
@@ -242,11 +277,13 @@ def rrna_search(
 ) -> Tuple[Optional[CmHit], Optional[CmHit]]:
     """Top hit for 12s and 16s (annotation_tookit.py:485-507)."""
 
+    present = {k: m for k in ("12s", "16s") if (m := rrna_models.get(k))}
+    all_hits = _filter_scan_multi(
+        present, contigs, e_threshold=e_value, score_threshold=15.0
+    )
+
     def top(model_key: str) -> Optional[CmHit]:
-        model = rrna_models.get(model_key)
-        if model is None:
-            return None
-        hits = _filter_scan(model, contigs, e_threshold=e_value, score_threshold=15.0)
+        hits = all_hits.get(model_key, [])
         if not hits:
             return None
         return max(hits, key=lambda h: h.score)

@@ -73,24 +73,33 @@ def nhmmer_search(
 ) -> pd.DataFrame:
     """Scan every contig (both strands) against every profile.
 
-    Windows are batched up to ``batch_windows`` rows per device call (the
-    scan's throughput grows with batch size; shapes are bucketed to powers
-    of two to bound recompiles)."""
+    Profiles that share a (padded model length, window) shape bucket are
+    STACKED and scored in one vmapped device call per window batch (all 22
+    tRNA filter models share the 128 bucket — one pass-1 scan instead of
+    22 sequential ones). Windows within a group are uniform, with overlap
+    = the group's largest model length, so every model's hits are still
+    fully contained in some window. Shapes are bucketed to powers of two
+    to bound recompiles."""
     rows: List[dict] = []
     codes = [c.codes for c in contigs]
     rc_codes = [np.asarray(encoding.revcomp(x)) for x in codes]
     total_bases = float(sum(len(x) for x in codes)) or 1.0
 
-    for hmm in profiles:
-        prof = phmm_ops.stage_profile(hmm)
+    staged = [(hmm, phmm_ops.stage_profile(hmm)) for hmm in profiles]
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for i, (hmm, prof) in enumerate(staged):
         L = hmm.length
         win = min(max(2 * L, 512), 8192)
-        overlap = min(L, win // 2)
-        # pow2 window shapes: with pow2 model padding this caps the number
-        # of distinct compiled scan kernels per model family
         T = 512
         while T < win:
             T <<= 1
+        Lp = prof.msc.shape[0]
+        groups.setdefault((Lp, T), []).append(i)
+
+    for (Lp, T), idxs in groups.items():
+        Lmax = max(staged[i][0].length for i in idxs)
+        win = min(min(max(2 * Lmax, 512), 8192), T)
+        overlap = min(Lmax, win // 2)
 
         windows: List[_Window] = []
         for ci, c in enumerate(codes):
@@ -98,8 +107,10 @@ def nhmmer_search(
                 for off, wl in _windows_for(len(arr), win, overlap):
                     windows.append(_Window(ci, strand, off, wl))
 
-        mu, lam = hmm.stats.get("VITERBI", (0.0, 0.7))
-        n_targets = max(total_bases / max(L, 1), 1.0)
+        stack = phmm_ops.stack_profiles([staged[i][1] for i in idxs])
+        model_lens = jnp.asarray(
+            [staged[i][0].length for i in idxs], jnp.int32
+        )
 
         for b0 in range(0, len(windows), batch_windows):
             chunk = windows[b0 : b0 + batch_windows]
@@ -111,62 +122,71 @@ def nhmmer_search(
                 arr = codes[w.contig_idx] if w.strand == 1 else rc_codes[w.contig_idx]
                 seqs[i, : w.length] = arr[w.offset : w.offset + w.length]
                 lens[i] = w.length
-            # pass 1: scores only over all windows; pass 2: envelopes for
-            # the (few) windows that pass thresholds
-            pre = np.asarray(
-                phmm_ops.viterbi_scores(prof, jnp.asarray(seqs), jnp.asarray(lens), L)
-            )
-            # NJC length-model correction: pass 1 has no envelope yet, so
-            # use the largest plausible alignment (least negative
-            # correction) to stay permissive; pass 2 re-corrects exactly
-            pre = pre[:B] + phmm_ops.length_correction_bits(
-                lens[:B], np.minimum(lens[:B], 2 * L)
-            )
-            pre_eval = phmm_ops.evalue(pre, mu, lam, n_targets)
-            passing = [
-                i for i in range(B)
-                if pre[i] >= score_threshold and pre_eval[i] <= e_threshold
-            ]
-            if not passing:
-                continue
-            Bp2 = _pad_pow2(len(passing))
-            seqs2 = np.full((Bp2, T), encoding.N, dtype=np.int8)
-            lens2 = np.zeros(Bp2, np.int32)
-            for j, i in enumerate(passing):
-                seqs2[j] = seqs[i]
-                lens2[j] = lens[i]
-            hits = phmm_ops.viterbi_scan(prof, jnp.asarray(seqs2), jnp.asarray(lens2), L)
-            score = np.asarray(hits.score)
-            sf, st = np.asarray(hits.seq_from), np.asarray(hits.seq_to)
-            hf, ht = np.asarray(hits.hmm_from), np.asarray(hits.hmm_to)
-            score = score + phmm_ops.length_correction_bits(lens2, st - sf + 1)
-            evals = phmm_ops.evalue(score, mu, lam, n_targets)
-            for j, i in enumerate(passing):
-                w = chunk[i]
-                i = j  # index into the pass-2 arrays below
-                if score[i] < score_threshold or evals[i] > e_threshold:
-                    continue
-                clen = len(codes[w.contig_idx])
-                a = w.offset + int(sf[i])   # 0-based within oriented seq
-                b = w.offset + int(st[i])
-                if w.strand == 1:
-                    alifrom, alito = a + 1, b + 1
-                else:
-                    alifrom, alito = clen - a, clen - b  # 1-based, from > to
-                rows.append(
-                    dict(
-                        target=contigs[w.contig_idx].id,
-                        query=hmm.name,
-                        hmmfrom=int(hf[i]),
-                        hmmto=int(ht[i]),
-                        alifrom=alifrom,
-                        alito=alito,
-                        sqlen=clen,
-                        strand="+" if w.strand == 1 else "-",
-                        e=float(evals[i]),
-                        score=float(score[i]),
-                    )
+            # pass 1: ALL group models score all windows in one call;
+            # pass 2: envelopes per model for the (few) passing windows
+            pre_all = np.asarray(
+                phmm_ops.viterbi_scores_multi(
+                    stack, model_lens, jnp.asarray(seqs), jnp.asarray(lens)
                 )
+            )  # [M, Bp]
+            for mi, i_model in enumerate(idxs):
+                hmm, prof = staged[i_model]
+                L = hmm.length
+                mu, lam = hmm.stats.get("VITERBI", (0.0, 0.7))
+                n_targets = max(total_bases / max(L, 1), 1.0)
+                # NJC length-model correction: pass 1 has no envelope yet,
+                # so use the largest plausible alignment (least negative
+                # correction) to stay permissive; pass 2 corrects exactly
+                pre = pre_all[mi, :B] + phmm_ops.length_correction_bits(
+                    lens[:B], np.minimum(lens[:B], 2 * L)
+                )
+                pre_eval = phmm_ops.evalue(pre, mu, lam, n_targets)
+                passing = [
+                    i for i in range(B)
+                    if pre[i] >= score_threshold and pre_eval[i] <= e_threshold
+                ]
+                if not passing:
+                    continue
+                Bp2 = _pad_pow2(len(passing))
+                seqs2 = np.full((Bp2, T), encoding.N, dtype=np.int8)
+                lens2 = np.zeros(Bp2, np.int32)
+                for j, i in enumerate(passing):
+                    seqs2[j] = seqs[i]
+                    lens2[j] = lens[i]
+                hits = phmm_ops.viterbi_scan(
+                    prof, jnp.asarray(seqs2), jnp.asarray(lens2), L
+                )
+                score = np.asarray(hits.score)
+                sf, st = np.asarray(hits.seq_from), np.asarray(hits.seq_to)
+                hf, ht = np.asarray(hits.hmm_from), np.asarray(hits.hmm_to)
+                score = score + phmm_ops.length_correction_bits(lens2, st - sf + 1)
+                evals = phmm_ops.evalue(score, mu, lam, n_targets)
+                for j, i in enumerate(passing):
+                    w = chunk[i]
+                    i = j  # index into the pass-2 arrays below
+                    if score[i] < score_threshold or evals[i] > e_threshold:
+                        continue
+                    clen = len(codes[w.contig_idx])
+                    a = w.offset + int(sf[i])   # 0-based within oriented seq
+                    b = w.offset + int(st[i])
+                    if w.strand == 1:
+                        alifrom, alito = a + 1, b + 1
+                    else:
+                        alifrom, alito = clen - a, clen - b  # 1-based, from > to
+                    rows.append(
+                        dict(
+                            target=contigs[w.contig_idx].id,
+                            query=hmm.name,
+                            hmmfrom=int(hf[i]),
+                            hmmto=int(ht[i]),
+                            alifrom=alifrom,
+                            alito=alito,
+                            sqlen=clen,
+                            strand="+" if w.strand == 1 else "-",
+                            e=float(evals[i]),
+                            score=float(score[i]),
+                        )
+                    )
 
     frame = pd.DataFrame(rows, columns=TBLOUT_COLUMNS)
     if frame.empty:
