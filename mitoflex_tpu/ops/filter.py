@@ -5,7 +5,10 @@ TPU-native replacement of the reference's Rust stream filter
 
 - count Ns (code 4); drop the read if the count exceeds ``ns_valve``;
 - count "bad" bases whose raw phred+33 byte is <= ``quality_valve``;
-  drop if bad_count >= percentage_valve * length;
+  drop if bad_count >= floor(f32(cutoff_len) * f32(percentage_valve)) —
+  the float32 truncation mirrors the reference's `(len as f32 * limit) as
+  usize` exactly, and ``cutoff_len`` is read 1's length for BOTH mates of
+  a pair (main.rs:236-241 computes one cutoff from seq1);
 - emit a 64-bit rolling hash of the base codes (two independent 32-bit
   polynomial hashes) used for optional PE deduplication
   (main.rs:325 ``calculate_hash``).
@@ -47,6 +50,16 @@ def _hash_powers(max_len: int) -> Tuple[np.ndarray, np.ndarray]:
     return p1, p2
 
 
+def quality_cutoffs(cutoff_lengths: jax.Array, percentage_valve: float) -> jax.Array:
+    """floor(f32(len) * f32(limit)) as int — the exact bad-base cutoff the
+    reference computes (main.rs:236 `(seq1.len() as f32 * limit) as usize`).
+    A read is dropped when bad_count >= cutoff; cutoff 0 drops everything
+    (including empty reads)."""
+    return jnp.floor(
+        cutoff_lengths.astype(jnp.float32) * jnp.float32(percentage_valve)
+    ).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("ns_valve", "quality_valve", "percentage_valve"))
 def filter_reads_ref(
     seqs: jax.Array,      # [B, L] int8 base codes
@@ -55,6 +68,7 @@ def filter_reads_ref(
     ns_valve: int,
     quality_valve: int,
     percentage_valve: float,
+    cutoff_lengths: jax.Array | None = None,  # [B] int32; PE passes mate 1's
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """jnp reference: returns (keep [B] bool, hash1 [B] uint32, hash2 [B] uint32)."""
     B, L = seqs.shape
@@ -64,11 +78,10 @@ def filter_reads_ref(
     bad = jnp.sum(
         jnp.logical_and(quals.astype(jnp.int32) <= quality_valve, valid), axis=1
     )
-    keep = jnp.logical_and(
-        n_count <= ns_valve,
-        bad.astype(jnp.float32) < percentage_valve * lengths.astype(jnp.float32),
+    cutoff = quality_cutoffs(
+        lengths if cutoff_lengths is None else cutoff_lengths, percentage_valve
     )
-    keep = jnp.logical_and(keep, lengths > 0)
+    keep = jnp.logical_and(n_count <= ns_valve, bad < cutoff)
     p1, p2 = _hash_powers(L)
     s = jnp.where(valid, seqs.astype(jnp.uint32) + 1, 0)
     h1 = jnp.sum(s * jnp.asarray(p1)[None, :], axis=1, dtype=jnp.uint32)
@@ -76,15 +89,15 @@ def filter_reads_ref(
     return keep, h1, h2
 
 
-def _filter_kernel(params_ref, seqs_ref, quals_ref, len_ref, p1_ref, p2_ref,
-                   keep_ref, h1_ref, h2_ref):
+def _filter_kernel(params_ref, seqs_ref, quals_ref, len_ref, cutoff_ref,
+                   p1_ref, p2_ref, keep_ref, h1_ref, h2_ref):
     ns_valve = params_ref[0]
     quality_valve = params_ref[1]
-    pct_scaled = params_ref[2]  # percentage_valve * 2^16, fixed point
 
     seqs = seqs_ref[:].astype(jnp.int32)   # [RB, L]
     quals = quals_ref[:].astype(jnp.int32)
     lengths = len_ref[:]                   # [RB, 1] int32
+    cutoffs = cutoff_ref[:]                # [RB, 1] int32 (quality_cutoffs)
     RB, L = seqs.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (RB, L), 1)
     lenb = jnp.broadcast_to(lengths, (RB, L))
@@ -93,11 +106,9 @@ def _filter_kernel(params_ref, seqs_ref, quals_ref, len_ref, p1_ref, p2_ref,
     valid = (col < lenb).astype(jnp.int32)
     n_count = jnp.sum((seqs == N_CODE).astype(jnp.int32) * valid, axis=1, keepdims=True)
     bad = jnp.sum((quals <= quality_valve).astype(jnp.int32) * valid, axis=1, keepdims=True)
-    # fixed-point compare: bad * 2^16 < pct_scaled * len
     keep = (
         (n_count <= ns_valve).astype(jnp.int32)
-        * ((bad << 16) < pct_scaled * lengths).astype(jnp.int32)
-        * (lengths > 0).astype(jnp.int32)
+        * (bad < cutoffs).astype(jnp.int32)
     )
     keep_ref[:] = keep
 
@@ -118,6 +129,7 @@ def filter_reads_pallas(
     ns_valve: int,
     quality_valve: int,
     percentage_valve: float,
+    cutoff_lengths: jax.Array | None = None,
     block_reads: int = 512,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -125,8 +137,10 @@ def filter_reads_pallas(
     block_reads = min(block_reads, B)
     assert B % block_reads == 0, (B, block_reads)
     grid = (B // block_reads,)
-    params = jnp.array(
-        [ns_valve, quality_valve, int(percentage_valve * 65536)], dtype=jnp.int32
+    params = jnp.array([ns_valve, quality_valve], dtype=jnp.int32)
+    cutoffs = quality_cutoffs(
+        jnp.asarray(lengths if cutoff_lengths is None else cutoff_lengths),
+        percentage_valve,
     )
     p1, p2 = _hash_powers(L)
     keep, h1, h2 = pl.pallas_call(
@@ -137,6 +151,7 @@ def filter_reads_pallas(
             in_specs=[
                 pl.BlockSpec((block_reads, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((block_reads, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_reads, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((block_reads, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, L), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, L), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
@@ -154,6 +169,7 @@ def filter_reads_pallas(
         ],
         interpret=interpret,
     )(params, seqs, quals, lengths.reshape(B, 1).astype(jnp.int32),
+      cutoffs.reshape(B, 1),
       jnp.asarray(p1.view(np.int32)).reshape(1, L),
       jnp.asarray(p2.view(np.int32)).reshape(1, L))
     return (
@@ -170,6 +186,7 @@ def filter_reads(
     ns_valve: int,
     quality_valve: int,
     percentage_valve: float,
+    cutoff_lengths=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Dispatch: XLA everywhere by default; MITOFLEX_FORCE_PALLAS=1 selects
     the hand-written Pallas kernel on TPU.
@@ -182,10 +199,11 @@ def filter_reads(
     MITOFLEX_DISABLE_PALLAS=1 still forces the XLA path regardless."""
     import os
 
+    cl = None if cutoff_lengths is None else jnp.asarray(cutoff_lengths)
     if os.environ.get("MITOFLEX_DISABLE_PALLAS") == "1":
         return filter_reads_ref(
             jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths),
-            ns_valve, quality_valve, percentage_valve,
+            ns_valve, quality_valve, percentage_valve, cl,
         )
     if (
         os.environ.get("MITOFLEX_FORCE_PALLAS") == "1"
@@ -193,9 +211,9 @@ def filter_reads(
     ):
         return filter_reads_pallas(
             jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths),
-            ns_valve, quality_valve, percentage_valve,
+            ns_valve, quality_valve, percentage_valve, cl,
         )
     return filter_reads_ref(
         jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths),
-        ns_valve, quality_valve, percentage_valve,
+        ns_valve, quality_valve, percentage_valve, cl,
     )

@@ -62,19 +62,22 @@ def filter_reads_sharded(
     ns_valve: int = 10,
     quality_valve: int = 55,
     percentage_valve: float = 0.2,
+    cutoff_lengths: jax.Array | None = None,
 ):
     """Data-parallel read filter: embarrassingly parallel over reads."""
+    if cutoff_lengths is None:
+        cutoff_lengths = lengths
 
-    def local(s, q, l):
+    def local(s, q, l, cl):
         return filter_ops.filter_reads_ref(
-            s, q, l, ns_valve, quality_valve, percentage_valve
+            s, q, l, ns_valve, quality_valve, percentage_valve, cl
         )
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("data", None), P("data", None), P("data")),
+        in_specs=(P("data", None), P("data", None), P("data"), P("data")),
         out_specs=(P("data"), P("data"), P("data")),
-    )(seqs, quals, lengths)
+    )(seqs, quals, lengths, cutoff_lengths)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))

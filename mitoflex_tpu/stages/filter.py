@@ -71,6 +71,23 @@ class _DedupSet:
         return self._set.check_and_add(keys, active)
 
 
+def _apply_budget(keep: np.ndarray, lengths: np.ndarray, used: int, budget: int):
+    """Reference truncation semantics (main.rs:255-259): only KEPT read-1
+    bases count toward the `--trim` budget, and the record whose length
+    pushes the running total PAST the budget is dropped along with
+    everything after it. Returns (keep, used, stop)."""
+    if not budget:
+        return keep, used, False
+    cum = used + np.cumsum(np.where(keep, lengths.astype(np.int64), 0))
+    over = cum > budget
+    if over.any():
+        first = int(np.argmax(over))
+        keep = keep.copy()
+        keep[first:] = False
+        return keep, budget, True
+    return keep, (int(cum[-1]) if len(cum) else used), False
+
+
 @timed()
 def filter_reads(
     cfg: FilterConfig,
@@ -83,35 +100,37 @@ def filter_reads(
     """Run the filter stage. PE iff fastq2 is given. With ``mesh`` the
     per-batch kernel runs data-parallel across the mesh's devices
     (parallel/mesh.py); batches stay host-fed either way."""
-    limit = cfg.trimming * 1_000_000_000 if cfg.trimming else 0
+    budget = int(round(cfg.trimming * 1_000_000_000)) if cfg.trimming else 0
     timer = StageTimer()
     dedup = _DedupSet() if (cfg.deduplication and fastq2) else None
-    reads_in = reads_kept = bases_in = bases_kept = dups = 0
+    reads_in = reads_kept = bases_in = bases_kept = dups = used = 0
 
     if mesh is not None:
         from ..parallel import mesh as mesh_mod
         import jax.numpy as jnp
 
-        def run_kernel(seqs, quals, lengths):
-            ds, dq, dl = mesh_mod.shard_batch(
+        def run_kernel(seqs, quals, lengths, cutoff_lengths):
+            ds, dq, dl, dc = mesh_mod.shard_batch(
                 mesh, jnp.asarray(seqs), jnp.asarray(quals),
                 jnp.asarray(lengths.astype(np.int32)),
+                jnp.asarray(cutoff_lengths.astype(np.int32)),
             )
             return mesh_mod.filter_reads_sharded(
                 mesh, ds, dq, dl, cfg.ns_valve, cfg.quality_valve,
-                cfg.percentage_valve,
+                cfg.percentage_valve, dc,
             )
     else:
-        def run_kernel(seqs, quals, lengths):
+        def run_kernel(seqs, quals, lengths, cutoff_lengths):
             return filter_ops.filter_reads(
                 seqs, quals, lengths,
                 cfg.ns_valve, cfg.quality_valve, cfg.percentage_valve,
+                cutoff_lengths,
             )
 
     if fastq2 is None:
         with fastq.FastqWriter(out1, cfg.compress_output) as w:
             for batch in fastq.read_batches(
-                fastq1, cfg.batch_reads, cfg.max_read_len, keep_names=True, limit_bases=limit
+                fastq1, cfg.batch_reads, cfg.max_read_len, keep_names=True
             ):
                 batch = _trim_batch(batch, cfg.keep_region)
                 if cfg.truncate_only:
@@ -119,15 +138,18 @@ def filter_reads(
                 else:
                     with timer.stage("device"):
                         keep_d, _, _ = run_kernel(
-                            batch.seqs, batch.quals, batch.lengths
+                            batch.seqs, batch.quals, batch.lengths, batch.lengths
                         )
                     keep = np.array(keep_d)
                 keep[batch.count:] = False
+                keep, used, stop = _apply_budget(keep, batch.lengths, used, budget)
                 reads_in += batch.count
                 bases_in += batch.total_bases
                 with timer.stage("write"):
                     reads_kept += w.write_batch(batch, keep)
                 bases_kept += int(batch.lengths[keep].sum())
+                if stop:
+                    break
         result = FilterResult(out1, None, reads_in, reads_kept, bases_in, bases_kept, 0)
     else:
         assert out2 is not None
@@ -135,8 +157,7 @@ def filter_reads(
             out2, cfg.compress_output
         ) as w2:
             for b1, b2 in fastq.read_pair_batches(
-                fastq1, fastq2, cfg.batch_reads, cfg.max_read_len,
-                keep_names=True, limit_bases=limit,
+                fastq1, fastq2, cfg.batch_reads, cfg.max_read_len, keep_names=True
             ):
                 b1 = _trim_batch(b1, cfg.keep_region)
                 b2 = _trim_batch(b2, cfg.keep_region)
@@ -145,20 +166,27 @@ def filter_reads(
                     keep[b1.count:] = False
                 else:
                     with timer.stage("device"):
-                        k1, h1, h2 = run_kernel(b1.seqs, b1.quals, b1.lengths)
-                        k2, _, _ = run_kernel(b2.seqs, b2.quals, b2.lengths)
+                        # one quality cutoff per pair, from read 1's length
+                        # (main.rs:236-241)
+                        k1, h1, h2 = run_kernel(b1.seqs, b1.quals, b1.lengths,
+                                                b1.lengths)
+                        k2, _, _ = run_kernel(b2.seqs, b2.quals, b2.lengths,
+                                              b1.lengths)
                     keep = np.array(np.logical_and(np.asarray(k1), np.asarray(k2)))
                     keep[b1.count:] = False
                     if dedup is not None:
                         uniq = dedup.check_and_add(np.asarray(h1), np.asarray(h2), keep)
                         dups += int(np.logical_and(keep, ~uniq).sum())
                         keep = np.logical_and(keep, uniq)
+                keep, used, stop = _apply_budget(keep, b1.lengths, used, budget)
                 reads_in += b1.count
                 bases_in += b1.total_bases + b2.total_bases
                 with timer.stage("write"):
                     reads_kept += w1.write_batch(b1, keep)
                     w2.write_batch(b2, keep)
                 bases_kept += int(b1.lengths[keep].sum() + b2.lengths[keep].sum())
+                if stop:
+                    break
         result = FilterResult(out1, out2, reads_in, reads_kept, bases_in, bases_kept, dups)
 
     logger.info(
