@@ -160,6 +160,8 @@ def nhmmer_search(
                 sf, st = np.asarray(hits.seq_from), np.asarray(hits.seq_to)
                 hf, ht = np.asarray(hits.hmm_from), np.asarray(hits.hmm_to)
                 score = score + phmm_ops.length_correction_bits(lens2, st - sf + 1)
+                # null2 composition-bias discount (HMMER p7_null2 analog)
+                score = score - phmm_ops.null2_bias_bits(seqs2, sf, st)
                 evals = phmm_ops.evalue(score, mu, lam, n_targets)
                 for j, i in enumerate(passing):
                     w = chunk[i]

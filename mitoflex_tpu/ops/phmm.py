@@ -25,9 +25,9 @@ The t loop is a lax.scan; everything inside is vectorized over
 
 Kernel scores are in bits (log2-odds vs flat background) for the aligned
 region only; :func:`length_correction_bits` applies HMMER's NJC
-length-model correction host-side (callers add it before thresholding —
-models/nhmmer.py does). Remaining divergence from HMMER: no null2 bias
-composition correction. E-values use the model's STATS VITERBI gumbel.
+length-model correction and :func:`null2_bias_bits` the composition-bias
+(null2) discount host-side (callers apply both before thresholding —
+models/nhmmer.py does). E-values use the model's STATS VITERBI gumbel.
 """
 
 from __future__ import annotations
@@ -377,6 +377,45 @@ def evalue(score_bits: np.ndarray, mu: float, lam: float, n_targets: float) -> n
     z = np.clip(-lam * (np.asarray(score_bits, dtype=np.float64) - mu), -700, 700)
     p = np.exp(z)
     return np.minimum(n_targets * p, n_targets)
+
+
+def null2_bias_bits(
+    seqs: np.ndarray, seq_from: np.ndarray, seq_to: np.ndarray,
+    omega_bits: float = 3.0,
+) -> np.ndarray:
+    """Composition-bias (null2) score correction in bits, host-side.
+
+    HMMER discounts alignments of biased-composition targets by scoring a
+    second null hypothesis from the aligned region's residue composition
+    and combining it with null1 under a prior ``omega`` (p7_null2 /
+    p7_domaindef semantics; nhmmer applies it per envelope). This is the
+    envelope-composition approximation of that correction:
+
+        n2   = sum_b count_b * log2(f_b / 0.25),  f plus-one smoothed,
+        corr = log2(1 + 2^(n2 - omega_bits))      (omega = 2^-omega_bits)
+
+    ``n2`` is the log-odds of the envelope under its own composition vs
+    the flat DNA background — zero for balanced composition, large for
+    low-complexity runs (poly-A etc.). Subtract the returned value from
+    the kernel score (models/nhmmer.py does). N/pad codes are excluded.
+
+    seqs: [B, T] int8 codes; seq_from/seq_to: [B] 0-based inclusive
+    envelope bounds. Returns [B] float64 bits (>= 0)."""
+    seqs = np.asarray(seqs)
+    B, T = seqs.shape
+    sf = np.clip(np.asarray(seq_from, np.int64), 0, T - 1)
+    st = np.clip(np.asarray(seq_to, np.int64), 0, T - 1)
+    col = np.arange(T)[None, :]
+    in_env = (col >= sf[:, None]) & (col <= st[:, None])
+    counts = np.stack(
+        [((seqs == b) & in_env).sum(axis=1) for b in range(4)], axis=1
+    ).astype(np.float64)                                   # [B, 4]
+    n = counts.sum(axis=1, keepdims=True)
+    f = (counts + 1.0) / (n + 4.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        n2 = np.where(counts > 0, counts * np.log2(f / 0.25), 0.0).sum(axis=1)
+    n2 = np.maximum(n2, 0.0)
+    return np.log1p(np.exp2(np.minimum(n2 - omega_bits, 500.0))) / np.log(2.0)
 
 
 def length_correction_bits(target_len, ali_len) -> np.ndarray:
