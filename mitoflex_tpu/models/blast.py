@@ -86,7 +86,7 @@ def _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend, fill, batch=64):
         res.append([np.asarray(x)[:n] for x in hits])
     if not res:
         return None
-    return [np.concatenate([r[i] for r in res]) for i in range(7)]
+    return [np.concatenate([r[i] for r in res]) for i in range(9)]
 
 
 class SeedIndex:
@@ -148,7 +148,7 @@ def tblastn(
     out = _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend, codon.X_CODE)
     rows = []
     if out is not None:
-        score, qf, qt, tf, tt, nid, ncol = out
+        score, qf, qt, tf, tt, nid, ncol, ngo, ngc = out
         lam, K = _BLOSUM62_LK
         bits = _bitscore(score, lam, K)
         for i, (qi, ci, frame, lo) in enumerate(meta):
@@ -171,8 +171,8 @@ def tblastn(
                     qseq=db[qi].id, sseq=contigs[ci].id,
                     ident=100.0 * int(nid[i]) / ncols,
                     length=ncols,
-                    mismatch=ncols - int(nid[i]),
-                    gap=0,
+                    mismatch=ncols - int(nid[i]) - int(ngc[i]),
+                    gap=int(ngo[i]),
                     qstart=int(qf[i]) + 1, qend=int(qt[i]) + 1,
                     sstart=s_start, send=s_end,
                     evalue=ev, score=float(bits[i]),
@@ -219,7 +219,7 @@ def blastn(
     out = _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend, encoding.N)
     rows = []
     if out is not None:
-        score, qf, qt, tf, tt, nid, ncol = out
+        score, qf, qt, tf, tt, nid, ncol, ngo, ngc = out
         lam, K = _NT_LK
         bits = _bitscore(score, lam, K)
         for i, (qi, si, strand, lo) in enumerate(meta):
@@ -236,7 +236,8 @@ def blastn(
                 dict(
                     qseq=queries[qi].id, sseq=subjects[si].id,
                     ident=100.0 * int(nid[i]) / ncols,
-                    length=ncols, mismatch=ncols - int(nid[i]), gap=0,
+                    length=ncols, mismatch=ncols - int(nid[i]) - int(ngc[i]),
+                    gap=int(ngo[i]),
                     qstart=int(qf[i]) + 1, qend=int(qt[i]) + 1,
                     sstart=s_start, send=s_end,
                     evalue=ev, score=float(bits[i]),

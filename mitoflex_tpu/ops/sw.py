@@ -43,6 +43,8 @@ class SwHits(NamedTuple):
     t_to: jax.Array
     n_ident: jax.Array  # [B] identical positions on the best path
     n_cols: jax.Array   # [B] aligned columns (match/mismatch+gaps)
+    n_gapopen: jax.Array  # [B] gap openings on the best path (outfmt6 col 6)
+    n_gapcols: jax.Array  # [B] gapped columns (so mismatch = cols-ident-gapcols)
 
 
 def nucleotide_matrix(match: int = 2, mismatch: int = -3) -> np.ndarray:
@@ -87,9 +89,12 @@ def sw_align(
     init = dict(
         H=jnp.zeros((B, Lq)), E=jnp.full((B, Lq), NEG),
         H_qs=zero_i, H_ts=zero_i, H_id=zero_i, H_nc=zero_i,
+        H_go=zero_i, H_gc=zero_i,
         E_qs=zero_i, E_ts=zero_i, E_id=zero_i, E_nc=zero_i,
+        E_go=zero_i, E_gc=zero_i,
         bV=jnp.zeros((B, Lq)),
         bV_qs=zero_i, bV_ts=zero_i, bV_id=zero_i, bV_nc=zero_i,
+        bV_go=zero_i, bV_gc=zero_i,
         bV_t=zero_i,
     )
 
@@ -111,6 +116,8 @@ def sw_align(
         E_ts = jnp.where(take_open, st["H_ts"], st["E_ts"])
         E_id = jnp.where(take_open, st["H_id"], st["E_id"])
         E_nc = jnp.where(take_open, st["H_nc"], st["E_nc"]) + 1
+        E_go = jnp.where(take_open, st["H_go"] + 1, st["E_go"])
+        E_gc = jnp.where(take_open, st["H_gc"], st["E_gc"]) + 1
 
         # diagonal
         dH = shift_right(st["H"], 0.0)
@@ -118,13 +125,18 @@ def sw_align(
         d_ts = shift_right(st["H_ts"], 0)
         d_id = shift_right(st["H_id"], 0)
         d_nc = shift_right(st["H_nc"], 0)
+        d_go = shift_right(st["H_go"], 0)
+        d_gc = shift_right(st["H_gc"], 0)
         first_col = jcol == 0
         # a fresh start is a diagonal move from score 0 at (t, j)
+        fresh = jnp.logical_or(first_col, dH <= 0.0)
         diag = jnp.where(first_col, 0.0, dH)
-        diag_qs = jnp.where(jnp.logical_or(first_col, dH <= 0.0), jcol, d_qs)
-        diag_ts = jnp.where(jnp.logical_or(first_col, dH <= 0.0), jnp.int32(t), d_ts)
-        diag_id = jnp.where(jnp.logical_or(first_col, dH <= 0.0), 0, d_id)
-        diag_nc = jnp.where(jnp.logical_or(first_col, dH <= 0.0), 0, d_nc)
+        diag_qs = jnp.where(fresh, jcol, d_qs)
+        diag_ts = jnp.where(fresh, jnp.int32(t), d_ts)
+        diag_id = jnp.where(fresh, 0, d_id)
+        diag_nc = jnp.where(fresh, 0, d_nc)
+        diag_go = jnp.where(fresh, 0, d_go)
+        diag_gc = jnp.where(fresh, 0, d_gc)
         diag = jnp.maximum(diag, 0.0)
         cand_d = diag + s
         cand_d_id = diag_id + is_match.astype(jnp.int32)
@@ -136,28 +148,38 @@ def sw_align(
         Hp_ts = jnp.where(use_d, diag_ts, E_ts)
         Hp_id = jnp.where(use_d, cand_d_id, E_id)
         Hp_nc = jnp.where(use_d, cand_d_nc, E_nc)
+        Hp_go = jnp.where(use_d, diag_go, E_go)
+        Hp_gc = jnp.where(use_d, diag_gc, E_gc)
 
         # F: gap along query axis, exact lazy-F via exclusive prefix max of
-        # a[j] = H'[j] + ext*j
+        # a[j] = H'[j] + ext*j. The argmax payload carries the ORIGIN COLUMN,
+        # so the gap length (j - origin) — and with it exact column/gap
+        # counts — is recovered at the landing column.
         a = Hp + ext_ramp
 
         def comb(l, r):
-            lv, l1, l2, l3, l4 = l
-            rv, r1, r2, r3, r4 = r
-            tl = lv >= rv
-            pick = lambda x, y: jnp.where(tl, x, y)
-            return (pick(lv, rv), pick(l1, r1), pick(l2, r2), pick(l3, r3), pick(l4, r4))
+            tl = l[0] >= r[0]
+            return tuple(jnp.where(tl, x, y) for x, y in zip(l, r))
 
-        cm, cm_qs, cm_ts, cm_id, cm_nc = jax.lax.associative_scan(
-            comb, (a, Hp_qs, Hp_ts, Hp_id, Hp_nc), axis=1
+        cm, cm_qs, cm_ts, cm_id, cm_nc, cm_go, cm_gc, cm_col = (
+            jax.lax.associative_scan(
+                comb, (a, Hp_qs, Hp_ts, Hp_id, Hp_nc, Hp_go, Hp_gc, jcol),
+                axis=1,
+            )
         )
         cm = shift_right(cm, NEG)
         F_qs = shift_right(cm_qs, 0)
         F_ts = shift_right(cm_ts, 0)
         F_id = shift_right(cm_id, 0)
         F_nc = shift_right(cm_nc, 0)
+        F_go = shift_right(cm_go, 0)
+        F_gc = shift_right(cm_gc, 0)
+        F_col = shift_right(cm_col, 0)
         F = cm - ext_ramp - (gap_open - gap_extend)
-        F_nc = F_nc + 1  # at least one gap column (undercounts long F gaps)
+        gap_len = jcol - F_col                 # exact F-gap length
+        F_nc = F_nc + gap_len
+        F_gc = F_gc + gap_len
+        F_go = F_go + 1
 
         use_f = F > Hp
         H = jnp.where(use_f, F, Hp)
@@ -165,6 +187,8 @@ def sw_align(
         H_ts = jnp.where(use_f, F_ts, Hp_ts)
         H_id = jnp.where(use_f, F_id, Hp_id)
         H_nc = jnp.where(use_f, F_nc, Hp_nc)
+        H_go = jnp.where(use_f, F_go, Hp_go)
+        H_gc = jnp.where(use_f, F_gc, Hp_gc)
         H = jnp.maximum(H, 0.0)
         H = jnp.where(valid, H, 0.0)
 
@@ -172,12 +196,15 @@ def sw_align(
         better = H > st["bV"]
         new = dict(
             H=H, E=E, H_qs=H_qs, H_ts=H_ts, H_id=H_id, H_nc=H_nc,
-            E_qs=E_qs, E_ts=E_ts, E_id=E_id, E_nc=E_nc,
+            H_go=H_go, H_gc=H_gc,
+            E_qs=E_qs, E_ts=E_ts, E_id=E_id, E_nc=E_nc, E_go=E_go, E_gc=E_gc,
             bV=jnp.where(better, H, st["bV"]),
             bV_qs=jnp.where(better, H_qs, st["bV_qs"]),
             bV_ts=jnp.where(better, H_ts, st["bV_ts"]),
             bV_id=jnp.where(better, H_id, st["bV_id"]),
             bV_nc=jnp.where(better, H_nc, st["bV_nc"]),
+            bV_go=jnp.where(better, H_go, st["bV_go"]),
+            bV_gc=jnp.where(better, H_gc, st["bV_gc"]),
             bV_t=jnp.where(better, jnp.int32(t), st["bV_t"]),
         )
         return new, None
@@ -190,6 +217,7 @@ def sw_align(
         q_from=pick(st["bV_qs"]), q_to=endj.astype(jnp.int32),
         t_from=pick(st["bV_ts"]), t_to=pick(st["bV_t"]),
         n_ident=pick(st["bV_id"]), n_cols=pick(st["bV_nc"]),
+        n_gapopen=pick(st["bV_go"]), n_gapcols=pick(st["bV_gc"]),
     )
 
 

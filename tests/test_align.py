@@ -103,3 +103,66 @@ def test_sw_protein_translated_hit(rng):
     hits = _align_one(pep, frame_aa, codon.blosum62(), 11.0, 1.0)
     assert int(hits.n_ident[0]) == len(pep)
     assert int(hits.q_from[0]) == 0
+
+
+def test_sw_gap_counts_target_gap():
+    """A deletion in the target (E gap): one opening, exact gap columns."""
+    from mitoflex_tpu.io import encoding
+
+    left, right = "ACGTACGTACGAGT", "GGATCCATGCAATT"
+    gap = "TTT"
+    q = encoding.encode(left + right)
+    t = encoding.encode(left + gap + right)           # target inserts TTT
+    hits = _align_one(q, t, sw.nucleotide_matrix(), 5.0, 2.0)
+    assert int(hits.n_gapopen[0]) == 1
+    assert int(hits.n_gapcols[0]) == 3
+    assert int(hits.n_cols[0]) == len(left) + len(right) + 3
+    assert int(hits.n_ident[0]) == len(left) + len(right)
+    # mismatch = cols - ident - gapcols = 0
+    assert int(hits.n_cols[0]) - int(hits.n_ident[0]) - int(hits.n_gapcols[0]) == 0
+
+
+def test_sw_gap_counts_query_gap():
+    """A deletion in the query (F gap, closed via the prefix scan): the
+    origin-column payload must recover the exact gap length."""
+    from mitoflex_tpu.io import encoding
+
+    left, right = "ACGTACGTACGAGT", "GGATCCATGCAATT"
+    gap = "TTTT"
+    q = encoding.encode(left + gap + right)           # query inserts TTTT
+    t = encoding.encode(left + right)
+    hits = _align_one(q, t, sw.nucleotide_matrix(), 5.0, 2.0)
+    assert int(hits.n_gapopen[0]) == 1
+    assert int(hits.n_gapcols[0]) == 4
+    assert int(hits.n_cols[0]) == len(left) + len(right) + 4
+    assert int(hits.n_ident[0]) == len(left) + len(right)
+
+
+def test_sw_two_gaps():
+    from mitoflex_tpu.io import encoding
+
+    a, b, c = "ACGTACGTACGAGT", "GGATCCATGCAATT", "CAGGCTTAGACCAT"
+    q = encoding.encode(a + b + "AA" + c)
+    t = encoding.encode(a + "GGG" + b + c)
+    hits = _align_one(q, t, sw.nucleotide_matrix(), 5.0, 2.0)
+    assert int(hits.n_gapopen[0]) == 2
+    assert int(hits.n_gapcols[0]) == 5
+    assert int(hits.n_ident[0]) == len(a + b + c)
+
+
+def test_blast_gap_columns_in_frame():
+    """gap/mismatch columns flow into the outfmt-6 frame."""
+    from mitoflex_tpu.io.fasta import FastaRecord
+    from mitoflex_tpu.models import blast as blast_models
+
+    rng = np.random.default_rng(4)
+    core = "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
+    qrec = FastaRecord("q", core, {})
+    srec = FastaRecord("s", core[:30] + "TTTTT" + core[30:], {})
+    frame = blast_models.blastn([qrec], [srec])
+    plus = frame[(frame.sseq == "s") & (frame.qstart == 1)]
+    assert len(plus) >= 1
+    row = plus.iloc[0]
+    assert row.gap == 1
+    assert row.length == 65
+    assert row.mismatch == 0
