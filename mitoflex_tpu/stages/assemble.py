@@ -31,6 +31,7 @@ import numpy as np
 
 from ..config import AssembleConfig
 from ..io import encoding, fasta, fastq
+from ..io.prefetch import prefetch
 from ..ops import dbg as dbg_ops
 from ..ops import kmer as kmer_ops
 from ..utils.helper import timed
@@ -500,13 +501,18 @@ def assemble(
     """Full multi-k assembly from clean FASTQ to contig FASTA."""
 
     def read_source():
+        # background producer thread: FASTQ decode overlaps device compute
         if fastq2 is None:
-            for b in fastq.read_batches(fastq1, read_chunk, max_read_len):
-                yield b.seqs, b.lengths
+            with prefetch(fastq.read_batches(fastq1, read_chunk, max_read_len), 3) as it:
+                for b in it:
+                    yield b.seqs, b.lengths
         else:
-            for b1, b2 in fastq.read_pair_batches(fastq1, fastq2, read_chunk, max_read_len):
-                yield b1.seqs, b1.lengths
-                yield b2.seqs, b2.lengths
+            with prefetch(
+                fastq.read_pair_batches(fastq1, fastq2, read_chunk, max_read_len), 3
+            ) as it:
+                for b1, b2 in it:
+                    yield b1.seqs, b1.lengths
+                    yield b2.seqs, b2.lengths
 
     # resize k list against the max read length (reference assemble.py:79-84)
     max_len = 0

@@ -16,6 +16,7 @@ import numpy as np
 
 from ..config import FilterConfig
 from ..io import fastq
+from ..io.prefetch import prefetch
 from ..ops import filter as filter_ops
 from ..utils.helper import StageTimer, timed
 from ..utils.logger import logger
@@ -128,10 +129,12 @@ def filter_reads(
             )
 
     if fastq2 is None:
-        with fastq.FastqWriter(out1, cfg.compress_output) as w:
-            for batch in fastq.read_batches(
+        with fastq.FastqWriter(out1, cfg.compress_output) as w, prefetch(
+            fastq.read_batches(
                 fastq1, cfg.batch_reads, cfg.max_read_len, keep_names=True
-            ):
+            )
+        ) as batches:
+            for batch in batches:
                 batch = _trim_batch(batch, cfg.keep_region)
                 if cfg.truncate_only:
                     keep = np.ones(batch.capacity, dtype=bool)
@@ -155,10 +158,12 @@ def filter_reads(
         assert out2 is not None
         with fastq.FastqWriter(out1, cfg.compress_output) as w1, fastq.FastqWriter(
             out2, cfg.compress_output
-        ) as w2:
-            for b1, b2 in fastq.read_pair_batches(
+        ) as w2, prefetch(
+            fastq.read_pair_batches(
                 fastq1, fastq2, cfg.batch_reads, cfg.max_read_len, keep_names=True
-            ):
+            )
+        ) as batches:
+            for b1, b2 in batches:
                 b1 = _trim_batch(b1, cfg.keep_region)
                 b2 = _trim_batch(b2, cfg.keep_region)
                 if cfg.truncate_only:

@@ -75,3 +75,48 @@ def test_fastq_writer_roundtrip(tmp_path, rng):
     assert len(back) == 49
     assert back[0][1].decode() == reads[0][0]
     assert back[3][0] == b"@r4"
+
+
+def test_prefetch_order_and_completeness():
+    from mitoflex_tpu.io.prefetch import prefetch
+
+    with prefetch(iter(range(1000)), depth=4) as it:
+        assert list(it) == list(range(1000))
+
+
+def test_prefetch_propagates_exception():
+    import pytest
+    from mitoflex_tpu.io.prefetch import prefetch
+
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError("boom")
+
+    it = prefetch(gen())
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(ValueError, match="boom"):
+        next(it)
+
+
+def test_prefetch_early_close():
+    import time
+    from mitoflex_tpu.io.prefetch import prefetch
+
+    produced = []
+
+    def gen():
+        for i in range(10_000):
+            produced.append(i)
+            yield i
+
+    with prefetch(gen(), depth=2) as it:
+        for i, x in enumerate(it):
+            if i == 5:
+                break
+    time.sleep(0.05)
+    n = len(produced)
+    time.sleep(0.1)
+    assert len(produced) == n  # producer stopped after close
+    assert n < 10_000
