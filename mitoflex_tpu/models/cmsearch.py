@@ -11,8 +11,11 @@ rrna_search:485-507, utility/bio/infernal.py):
   whose WUSS fold feeds the reference's anticodon validation walk verbatim
   (MultiLoop -> hairpins[1], 7-base loop, no gap at positions 2:5,
   reverse-complement -> amino, annotation_tookit.py:403-446);
-- rRNA search returns the top filter hit per model (coordinates + score,
-  all the pipeline uses);
+- rRNA candidates get a BANDED CYK rescore (ops/cyk.py cyk_banded,
+  HMM-envelope-anchored colinear bands — Infernal's HMM-banded strategy
+  simplified), yielding true CM bit scores and refined coordinates at
+  CLEN ~1000-1600; the p7 filter hit is the fallback when bands exclude
+  every parse;
 - the score-ranked overlap-conflict sweep over tRNA hits is ported
   faithfully (annotation_tookit.py:443-470).
 """
@@ -270,22 +273,79 @@ def trna_search(
     return query_dict, missing
 
 
+def _cyk_banded_refine(
+    model: cm_models.CovarianceModel,
+    contig: FastaRecord,
+    hit: CmHit,
+    slack: int = 48,
+) -> CmHit:
+    """Rescore an rRNA filter hit with the banded CYK; falls back to the
+    p7 hit when the bands exclude every parse (e.g. heavily truncated or
+    rearranged targets)."""
+    codes = contig.codes
+    lo, hi = hit.span()
+    lo0, hi0 = lo - 1, hi          # 0-based half open, plus strand
+    pad = slack + 16
+    L = len(codes)
+    if hit.plus:
+        wlo = max(0, lo0 - pad)
+        whi = min(L, hi0 + pad)
+        window = codes[wlo:whi]
+        env0, env1 = lo0 - wlo, hi0 - 1 - wlo
+    else:
+        rc = np.asarray(encoding.revcomp(codes))
+        wlo = max(0, (L - hi0) - pad)
+        whi = min(L, (L - lo0) + pad)
+        window = rc[wlo:whi]
+        env0, env1 = (L - hi0) - wlo, (L - lo0) - 1 - wlo
+    if len(window) < 16:
+        return hit
+    anchor = (env0, env1, hit.mdlfrom - 1, hit.mdlto - 1)
+    try:
+        aln = cyk_ops.cyk_banded(model, np.asarray(window), anchor, slack)
+    except Exception as e:  # banding is an optimization, never a hard fail
+        logger.warn(f"banded CYK failed on {model.name}: {e}")
+        return hit
+    if aln is None or aln.score <= 10.0:
+        logger.debug(f"banded CYK rejected {model.name} hit; keeping p7 hit")
+        return hit
+    if hit.plus:
+        sf = wlo + aln.seq_from + 1
+        st = wlo + aln.seq_to + 1
+    else:
+        sf = L - (wlo + aln.seq_from)
+        st = L - (wlo + aln.seq_to)
+    return CmHit(
+        sequence=hit.sequence, score=float(aln.score), e_value=hit.e_value,
+        seqfrom=sf, seqto=st, plus=hit.plus,
+        mdlfrom=aln.mdl_from, mdlto=aln.mdl_to,
+    )
+
+
 def rrna_search(
     contigs: Sequence[FastaRecord],
     rrna_models: Dict[str, cm_models.CovarianceModel],
     e_value: float = 0.01,
+    cyk_refine: bool = True,
 ) -> Tuple[Optional[CmHit], Optional[CmHit]]:
-    """Top hit for 12s and 16s (annotation_tookit.py:485-507)."""
+    """Top hit for 12s and 16s (annotation_tookit.py:485-507), rescored
+    with the banded CYK unless ``cyk_refine`` is off."""
 
     present = {k: m for k in ("12s", "16s") if (m := rrna_models.get(k))}
     all_hits = _filter_scan_multi(
         present, contigs, e_threshold=e_value, score_threshold=15.0
     )
+    by_id = {c.id: c for c in contigs}
 
     def top(model_key: str) -> Optional[CmHit]:
         hits = all_hits.get(model_key, [])
         if not hits:
             return None
-        return max(hits, key=lambda h: h.score)
+        best = max(hits, key=lambda h: h.score)
+        if cyk_refine:
+            best = _cyk_banded_refine(
+                present[model_key], by_id[best.sequence], best
+            )
+        return best
 
     return top("12s"), top("16s")

@@ -14,9 +14,15 @@ fold of each alignment). Two-stage search like Infernal's own pipeline:
    the downstream anticodon logic can run the same structure walk as the
    reference (bio/wuss.py).
 
-The rRNA models (CLEN ~1000-3000) skip stage 2: the pipeline only needs
-coordinates + scores for rRNAs (annotation_tookit.py:485-507), which the
-filter-HMM scan provides.
+The rRNA models (CLEN 952 / 1630, 3-5k states) use stage 2b instead:
+:func:`cyk_banded`, a banded CYK anchored on the p7 filter envelope
+(Infernal's own HMM-banded strategy, simplified to colinear interpolation
+bands). Each state's subtree generates a contiguous consensus interval
+[cl, cr); under the envelope's linear model-to-window map the span
+boundaries i and j are banded around est(cl) and est(cr) with a fixed
+slack, so each state stores a small [i-band, j-band] block instead of the
+full [L+1, L+1] deck — memory drops from O(S*L^2) (59 TB for 16s) to
+O(S*slack^2) (~200 MB), and the DP gives true CM bit scores for rRNA.
 
 CYK formulation: alpha[v][i][j] = best log-odds (bits) of state v's
 subtree generating window span [i, j) —
@@ -385,4 +391,207 @@ def cyk_align(model: cm_models.CovarianceModel, window: np.ndarray) -> Optional[
         mdl_from=mdl_from,
         mdl_to=mdl_to,
         residue_of_pos=residue_of_pos,
+    )
+
+
+# --------------------------------------------------------------- banded CYK
+def node_subtree_spans(model: cm_models.CovarianceModel) -> List[Tuple[int, int]]:
+    """Per NODE half-open consensus interval [cl, cr) generated by the
+    node's guide-tree subtree (including its own MATL/MATR/MATP emissions).
+    Nodes are in preorder, so every subtree is a contiguous consensus run;
+    empty subtrees (END et al.) give zero-width intervals at their seam."""
+    nodes = model.nodes
+    spans: List[Tuple[int, int]] = [(0, 0)] * len(nodes)
+    pos = [0]  # consensus positions emitted so far
+
+    def b_children(idx: int) -> Tuple[int, int]:
+        for sid in nodes[idx].state_ids:
+            if model.stype[sid] == B:
+                return (int(model.node_of[model.cfirst[sid]]),
+                        int(model.node_of[model.cnum[sid]]))
+        raise ValueError("BIF node without B state")
+
+    def walk(idx: int) -> None:
+        start = pos[0]
+        kind = nodes[idx].kind
+        if kind == "END":
+            spans[idx] = (start, start)
+            return
+        if kind == "BIF":
+            l, r = b_children(idx)
+            walk(l)
+            walk(r)
+            spans[idx] = (start, pos[0])
+            return
+        if kind in ("MATL", "MATP"):
+            pos[0] += 1
+        walk(idx + 1)
+        if kind in ("MATR", "MATP"):
+            pos[0] += 1
+        spans[idx] = (start, pos[0])
+
+    walk(0)
+    return spans
+
+
+def cyk_banded(
+    model: cm_models.CovarianceModel,
+    window: np.ndarray,
+    anchor: Tuple[int, int, int, int],
+    slack: int = 48,
+) -> Optional[CykAlignment]:
+    """Banded CYK over ``window`` (base codes) with colinear bands.
+
+    ``anchor`` = (w0, w1, p0, p1): window coordinates [w0, w1] of the p7
+    filter envelope and the 0-based consensus positions [p0, p1] it spans
+    (hmm_from-1, hmm_to-1). Consensus position p is expected near
+    est(p) = w0 + (p - p0) * (w1 - w0) / (p1 - p0); every state's span
+    boundaries are banded est +- slack. Returns score + window
+    coordinates (no traceback — rRNA consumers need coords/score only),
+    or None when the bands exclude every parse.
+
+    Exactness: with slack >= window length this reduces to the full CYK
+    (tested against cyk_align); with tight bands it is a lower bound on
+    the true CYK score, like any banded aligner."""
+    L = len(window)
+    Sn = model.n_states
+    stype, cfirst, cnum, trans = model.stype, model.cfirst, model.cnum, model.trans
+    esc = _emit_single_scores(model, window)
+    ok = window < 4
+    widx = np.clip(window, 0, 3)
+
+    w0, w1, p0, p1 = anchor
+    clen = model.clen
+    rate = (w1 - w0) / max(p1 - p0, 1)
+
+    def est(p: float) -> float:
+        return w0 + (p - p0) * rate
+
+    spans = node_subtree_spans(model)
+
+    # per-state band: [ilo, ihi) x [jlo, jhi) over boundary coords 0..L
+    ilo = np.zeros(Sn, np.int32)
+    ihi = np.zeros(Sn, np.int32)
+    jlo = np.zeros(Sn, np.int32)
+    jhi = np.zeros(Sn, np.int32)
+    for v in range(Sn):
+        cl, cr = spans[int(model.node_of[v])]
+        ci = est(cl)
+        cj = est(cr)
+        ilo[v] = max(0, int(np.floor(ci)) - slack)
+        ihi[v] = min(L, int(np.ceil(ci)) + slack) + 1
+        jlo[v] = max(0, int(np.floor(cj)) - slack)
+        jhi[v] = min(L, int(np.ceil(cj)) + slack) + 1
+        if ihi[v] <= ilo[v] or jhi[v] <= jlo[v]:
+            return None
+
+    blocks: List[Optional[np.ndarray]] = [None] * Sn
+
+    def fetch(c: int, i0: int, i1: int, j0: int, j1: int) -> np.ndarray:
+        """Child c's alpha over boundary ranges [i0,i1) x [j0,j1), NEG
+        outside c's band."""
+        out = np.full((i1 - i0, j1 - j0), NEG, np.float32)
+        bi0, bi1 = max(i0, ilo[c]), min(i1, ihi[c])
+        bj0, bj1 = max(j0, jlo[c]), min(j1, jhi[c])
+        if bi0 < bi1 and bj0 < bj1:
+            out[bi0 - i0 : bi1 - i0, bj0 - j0 : bj1 - j0] = blocks[c][
+                bi0 - ilo[c] : bi1 - ilo[c], bj0 - jlo[c] : bj1 - jlo[c]
+            ]
+        return out
+
+    for v in range(Sn - 1, -1, -1):
+        st = stype[v]
+        i0, i1, j0, j1 = int(ilo[v]), int(ihi[v]), int(jlo[v]), int(jhi[v])
+        ii = np.arange(i0, i1)
+        jj = np.arange(j0, j1)
+        span_ok = jj[None, :] >= ii[:, None]          # j >= i
+        if st == E:
+            blk = np.where(jj[None, :] == ii[:, None], 0.0, NEG).astype(np.float32)
+            blocks[v] = blk
+            continue
+        if st == B:
+            l, r = int(cfirst[v]), int(cnum[v])
+            m0 = max(int(jlo[l]), int(ilo[r]))
+            m1 = min(int(jhi[l]), int(ihi[r]))
+            if m0 >= m1:
+                return None
+            lb = fetch(l, i0, i1, m0, m1)             # [I, M]
+            rb = fetch(r, m0, m1, j0, j1)             # [M, J]
+            blk = (lb[:, :, None] + rb[None, :, :]).max(axis=1)
+            blocks[v] = np.where(span_ok, blk, NEG).astype(np.float32)
+            continue
+
+        kids = list(range(int(cfirst[v]), int(cfirst[v]) + int(cnum[v])))
+        ts = trans[v]
+        blk = np.full((i1 - i0, j1 - j0), NEG, np.float32)
+        self_t = None
+        for ci_, c in enumerate(kids):
+            t = float(ts[ci_])
+            if c == v:
+                self_t = t
+                continue
+            if st in (S, D):
+                cand = fetch(c, i0, i1, j0, j1) + t
+            elif st in (ML, IL):
+                cand = fetch(c, i0 + 1, i1 + 1, j0, j1) + t
+            elif st in (MR, IR):
+                cand = fetch(c, i0, i1, j0 - 1, j1 - 1) + t
+            elif st == MP:
+                cand = fetch(c, i0 + 1, i1 + 1, j0 - 1, j1 - 1) + t
+            else:
+                continue
+            np.maximum(blk, cand, out=blk)
+        # emissions
+        if st in (ML, IL):
+            em = np.full(i1 - i0, NEG, np.float32)
+            sel = ii < L
+            em[sel] = esc[v, ii[sel]]
+            blk = blk + em[:, None]
+        elif st in (MR, IR):
+            em = np.full(j1 - j0, NEG, np.float32)
+            sel = jj - 1 >= 0
+            em[sel] = esc[v, jj[sel] - 1]
+            blk = blk + em[None, :]
+        elif st == MP:
+            ps = model.emit_pair[v].reshape(4, 4)
+            em = np.full((i1 - i0, j1 - j0), NEG, np.float32)
+            isel = (ii < L) & ok[np.clip(ii, 0, L - 1)]
+            jsel = (jj - 1 >= 0) & ok[np.clip(jj - 1, 0, L - 1)]
+            if isel.any() and jsel.any():
+                em[np.ix_(isel, jsel)] = ps[
+                    np.ix_(widx[ii[isel]], widx[jj[jsel] - 1])
+                ]
+            blk = blk + em
+        # self loops within the band
+        if self_t is not None:
+            if st == IL:
+                for r_ in range(blk.shape[0] - 2, -1, -1):
+                    i = i0 + r_
+                    if i >= L:
+                        continue
+                    cand = esc[v, i] + self_t + blk[r_ + 1, :]
+                    np.maximum(blk[r_, :], cand, out=blk[r_, :])
+            elif st == IR:
+                for c_ in range(1, blk.shape[1]):
+                    j = j0 + c_
+                    if j - 1 < 0 or j - 1 >= L:
+                        continue
+                    cand = esc[v, j - 1] + self_t + blk[:, c_ - 1]
+                    np.maximum(blk[:, c_], cand, out=blk[:, c_])
+        blk = np.where(span_ok, blk, NEG).astype(np.float32)
+        np.clip(blk, NEG, None, out=blk)
+        blocks[v] = blk
+
+    root = blocks[0]
+    flat = int(np.argmax(root))
+    ri, rj = divmod(flat, root.shape[1])
+    best = float(root[ri, rj])
+    bi = int(ilo[0]) + ri
+    bj = int(jlo[0]) + rj
+    if best < NEG / 2 or bj <= bi:
+        return None
+    return CykAlignment(
+        score=best, seq_from=bi, seq_to=bj - 1,
+        aligned_seq="", aligned_fold="",
+        mdl_from=1, mdl_to=model.clen, residue_of_pos={},
     )

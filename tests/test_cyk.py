@@ -90,3 +90,71 @@ def test_trna_search_on_embedded_trna(lys_model, rng):
     assert "K" in found_m
     assert not found_m["K"].plus
     assert found_m["K"].span() == (301, 300 + len(trna))
+
+
+RRNA_DIR = "/root/reference/profile/rRNA_CM"
+
+
+def test_banded_matches_exact_on_trna(lys_model, rng):
+    """With any reasonable slack the banded CYK equals the exact DP on a
+    planted consensus (bands contain the optimal parse)."""
+    from mitoflex_tpu.io import encoding
+
+    cons = lys_model.consensus().upper().replace("U", "T")
+    flank = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    left = flank(20)
+    window = np.asarray(encoding.encode(left + cons + flank(20)))
+    exact = cyk.cyk_align(lys_model, window)
+    anchor = (len(left), len(left) + len(cons) - 1, 0, lys_model.clen - 1)
+    for slack in (8, 48):
+        banded = cyk.cyk_banded(lys_model, window, anchor, slack=slack)
+        assert banded is not None
+        assert abs(banded.score - exact.score) < 1e-3
+        assert banded.seq_from == exact.seq_from
+        assert banded.seq_to == exact.seq_to
+
+
+def test_node_subtree_spans_cover_model(lys_model):
+    spans = cyk.node_subtree_spans(lys_model)
+    assert spans[0] == (0, lys_model.clen)          # ROOT covers everything
+    for lo, hi in spans:
+        assert 0 <= lo <= hi <= lys_model.clen
+
+
+@pytest.mark.skipif(not os.path.exists(RRNA_DIR), reason="rRNA CMs unavailable")
+def test_banded_cyk_rrna_scale(rng):
+    """True CM scoring at CLEN 952 / 2965 states: exact consensus span
+    recovery in under a few seconds (the full matrix would be ~TBs)."""
+    from mitoflex_tpu.io import encoding
+
+    m = load_cm_file(os.path.join(RRNA_DIR, "12s.cm"))[0]
+    cons = m.consensus().upper().replace("U", "T")
+    flank = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    left = flank(60)
+    window = np.asarray(encoding.encode(left + cons + flank(60)))
+    anchor = (len(left), len(left) + len(cons) - 1, 0, m.clen - 1)
+    aln = cyk.cyk_banded(m, window, anchor, slack=48)
+    assert aln is not None
+    assert aln.score > 800                           # strong self-match
+    assert aln.seq_from == len(left)
+    assert aln.seq_to == len(left) + len(cons) - 1
+
+
+@pytest.mark.skipif(not os.path.exists(RRNA_DIR), reason="rRNA CMs unavailable")
+def test_rrna_search_banded_refinement(rng):
+    """rrna_search reports banded-CYK scores and refined coordinates for
+    a 12s consensus planted mid-contig."""
+    from mitoflex_tpu.io import encoding
+    from mitoflex_tpu.io.fasta import FastaRecord
+    from mitoflex_tpu.models import cmsearch
+
+    m = load_cm_file(os.path.join(RRNA_DIR, "12s.cm"))[0]
+    cons = m.consensus().upper().replace("U", "T")
+    flank = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    genome = flank(250) + cons + flank(250)
+    h12, h16 = cmsearch.rrna_search([FastaRecord("mt", genome, {})], {"12s": m})
+    assert h16 is None
+    assert h12 is not None and h12.plus
+    assert h12.score > 800
+    assert abs(h12.seqfrom - 251) <= 3
+    assert abs(h12.seqto - (250 + len(cons))) <= 3
