@@ -123,7 +123,8 @@ def parse_cm_text(handle: TextIO) -> List[CovarianceModel]:
                 continue
             key, rest = parts[0], (parts[1].strip() if len(parts) > 1 else "")
             if key.startswith("ECM") or key == "EFP7GF":
-                stats[key] = tuple(float(x) for x in rest.split()[:2])
+                # ECM*: lambda, mu_extrap, mu_orig, dbsize, nhits, tailp
+                stats[key] = tuple(float(x) for x in rest.split())
             else:
                 meta[key] = rest
         n_states = int(meta["STATES"])
@@ -226,3 +227,22 @@ def parse_cm_text(handle: TextIO) -> List[CovarianceModel]:
 def load_cm_file(path: str) -> List[CovarianceModel]:
     with open(path) as f:
         return parse_cm_text(f)
+
+
+def cm_evalue(model: "CovarianceModel", score_bits: float,
+              search_residues: float, key: str = "ECMLC") -> float | None:
+    """Infernal-style exponential-tail E-value for a CM bit score.
+
+    The .cm ECM* lines carry (lambda, mu_extrap, mu_orig, dbsize, nhits,
+    tailp) from cmcalibrate; the locally-configured CYK line (ECMLC)
+    matches our banded-CYK search mode. E = eff_dbsize * exp(-lambda *
+    (sc - mu_extrap)) with eff_dbsize = nhits * search_residues / dbsize
+    (Infernal's per-search rescaling of the calibrated hit count).
+    Returns None when the model carries no calibration."""
+    st = model.stats.get(key)
+    if not st or len(st) < 6:
+        return None
+    lam, mu_ex, _mu_orig, dbsize, nhits, _tailp = st[:6]
+    import math
+    eff = nhits * max(search_residues, 1.0) / max(dbsize, 1.0)
+    return eff * math.exp(max(min(-lam * (score_bits - mu_ex), 700.0), -700.0))

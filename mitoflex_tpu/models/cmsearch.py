@@ -315,8 +315,12 @@ def _cyk_banded_refine(
     else:
         sf = L - (wlo + aln.seq_from)
         st = L - (wlo + aln.seq_to)
+    # E-value from the CM's own cmcalibrate exponential tail when present
+    # (both strands of the contig are the search space)
+    ev = cm_models.cm_evalue(model, float(aln.score), 2.0 * L)
     return CmHit(
-        sequence=hit.sequence, score=float(aln.score), e_value=hit.e_value,
+        sequence=hit.sequence, score=float(aln.score),
+        e_value=hit.e_value if ev is None else ev,
         seqfrom=sf, seqto=st, plus=hit.plus,
         mdlfrom=aln.mdl_from, mdlto=aln.mdl_to,
     )

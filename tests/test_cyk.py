@@ -158,3 +158,19 @@ def test_rrna_search_banded_refinement(rng):
     assert h12.score > 800
     assert abs(h12.seqfrom - 251) <= 3
     assert abs(h12.seqto - (250 + len(cons))) <= 3
+
+
+@pytest.mark.skipif(not os.path.exists(RRNA_DIR), reason="rRNA CMs unavailable")
+def test_cm_evalue_from_calibration():
+    from mitoflex_tpu.models import cm as cm_models
+
+    m = load_cm_file(os.path.join(RRNA_DIR, "12s.cm"))[0]
+    assert "ECMLC" in m.stats and len(m.stats["ECMLC"]) == 6
+    strong = cm_models.cm_evalue(m, 800.0, 30000.0)
+    weak = cm_models.cm_evalue(m, 5.0, 30000.0)
+    assert strong is not None and strong < 1e-50
+    assert weak is not None and weak > strong
+    # uncalibrated model -> None
+    m2 = load_cm_file("/root/reference/profile/tRNA_CM/Metazoa_K.cm")[0]
+    got = cm_models.cm_evalue(m2, 50.0, 1000.0)
+    assert got is None or got >= 0.0
