@@ -153,42 +153,63 @@ def nhmmer_search(
                 for j, i in enumerate(passing):
                     seqs2[j] = seqs[i]
                     lens2[j] = lens[i]
-                hits = phmm_ops.viterbi_scan(
-                    prof, jnp.asarray(seqs2), jnp.asarray(lens2), L
-                )
-                score = np.asarray(hits.score)
-                sf, st = np.asarray(hits.seq_from), np.asarray(hits.seq_to)
-                hf, ht = np.asarray(hits.hmm_from), np.asarray(hits.hmm_to)
-                score = score + phmm_ops.length_correction_bits(lens2, st - sf + 1)
-                # null2 composition-bias discount (HMMER p7_null2 analog)
-                score = score - phmm_ops.null2_bias_bits(seqs2, sf, st)
-                evals = phmm_ops.evalue(score, mu, lam, n_targets)
-                for j, i in enumerate(passing):
-                    w = chunk[i]
-                    i = j  # index into the pass-2 arrays below
-                    if score[i] < score_threshold or evals[i] > e_threshold:
-                        continue
-                    clen = len(codes[w.contig_idx])
-                    a = w.offset + int(sf[i])   # 0-based within oriented seq
-                    b = w.offset + int(st[i])
-                    if w.strand == 1:
-                        alifrom, alito = a + 1, b + 1
-                    else:
-                        alifrom, alito = clen - a, clen - b  # 1-based, from > to
-                    rows.append(
-                        dict(
-                            target=contigs[w.contig_idx].id,
-                            query=hmm.name,
-                            hmmfrom=int(hf[i]),
-                            hmmto=int(ht[i]),
-                            alifrom=alifrom,
-                            alito=alito,
-                            sqlen=clen,
-                            strand="+" if w.strand == 1 else "-",
-                            e=float(evals[i]),
-                            score=float(score[i]),
-                        )
+                # multihit: after each envelope is reported its residues are
+                # masked and the surviving windows are rescanned, so several
+                # same-model copies in ONE window all come out (nhmmer's
+                # multidomain reporting; the J-state analog)
+                active = list(range(len(passing)))
+                for _round in range(4):
+                    if not active:
+                        break
+                    hits = phmm_ops.viterbi_scan(
+                        prof, jnp.asarray(seqs2), jnp.asarray(lens2), L
                     )
+                    score = np.asarray(hits.score)
+                    sf, st = np.asarray(hits.seq_from), np.asarray(hits.seq_to)
+                    hf, ht = np.asarray(hits.hmm_from), np.asarray(hits.hmm_to)
+                    score = score + phmm_ops.length_correction_bits(
+                        lens2, st - sf + 1
+                    )
+                    # null2 composition-bias discount (HMMER p7_null2 analog)
+                    score = score - phmm_ops.null2_bias_bits(seqs2, sf, st)
+                    evals = phmm_ops.evalue(score, mu, lam, n_targets)
+                    next_active = []
+                    for j in active:
+                        i = passing[j]
+                        if score[j] < score_threshold or evals[j] > e_threshold:
+                            continue
+                        w = chunk[i]
+                        clen = len(codes[w.contig_idx])
+                        a = w.offset + int(sf[j])  # 0-based in oriented seq
+                        b = w.offset + int(st[j])
+                        if w.strand == 1:
+                            alifrom, alito = a + 1, b + 1
+                        else:
+                            alifrom, alito = clen - a, clen - b  # from > to
+                        rows.append(
+                            dict(
+                                target=contigs[w.contig_idx].id,
+                                query=hmm.name,
+                                hmmfrom=int(hf[j]),
+                                hmmto=int(ht[j]),
+                                alifrom=alifrom,
+                                alito=alito,
+                                sqlen=clen,
+                                strand="+" if w.strand == 1 else "-",
+                                e=float(evals[j]),
+                                score=float(score[j]),
+                            )
+                        )
+                        # mask the reported envelope; rescan for more copies
+                        if st[j] >= sf[j] and st[j] - sf[j] + 1 < lens2[j]:
+                            seqs2[j, sf[j] : st[j] + 1] = encoding.N
+                            next_active.append(j)
+                    # windows with no (further) hit leave the rescan set
+                    keep_rows = set(next_active)
+                    for j in range(len(passing)):
+                        if j not in keep_rows:
+                            lens2[j] = 0
+                    active = next_active
 
     frame = pd.DataFrame(rows, columns=TBLOUT_COLUMNS)
     if frame.empty:

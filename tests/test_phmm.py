@@ -227,3 +227,18 @@ def test_nhmmer_real_hit_survives_null2(rng):
     row = frame.iloc[0]
     assert row.query == "Q" and row.strand == "+"
     assert abs(row.alifrom - 151) <= 2
+
+
+def test_nhmmer_multihit_two_copies_one_window(rng):
+    """Two copies of the same model inside ONE window must both be
+    reported (mask-and-rescan multihit pass)."""
+    cons = "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
+    hmm = hmm_models.profile_from_consensus("DUP", cons)
+    gap = "".join("ACGT"[i] for i in rng.integers(0, 4, 40))
+    contig = FastaRecord("c", cons + gap + cons, {})
+    frame = nhmmer.nhmmer_search([contig], [hmm])
+    plus = frame[frame.strand == "+"]
+    assert len(plus) >= 2, frame
+    starts = sorted(plus.alifrom)
+    assert abs(starts[0] - 1) <= 2
+    assert abs(starts[1] - (len(cons) + len(gap) + 1)) <= 2
