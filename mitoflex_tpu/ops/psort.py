@@ -1,0 +1,197 @@
+"""Pallas bitonic sort for 2-word (64-bit) keys on TPU.
+
+XLA's `lax.sort` is the k-mer counting wall (PLAN.md: 461 Mkeys/s for the
+bare 2-word sort = 87% of count_chunk_runs). This module implements the
+TPU-native alternative measured out in round 1:
+
+- **intra-tile bitonic sort** (`_sort_tile_kernel`): each grid cell sorts
+  a T-element tile entirely in VMEM — the log2(T)*(log2(T)+1)/2
+  compare-exchange stages cost zero HBM traffic. Butterfly partners
+  (i ^ s) are fetched with static leading-axis reshapes for sublane
+  strides (s >= 128) and lane rolls + selects for lane strides (s < 128)
+  — no gathers, which TPU lacks.
+- **cross-tile butterflies** in plain XLA: for strides >= T the partner
+  tile is aligned elementwise, so the exchange is a full-width row
+  operation on a [tiles, T] view — the one bitonic pattern XLA lowers
+  well (the strided intra-row form measured 27x off the HBM bound).
+- **intra-tile finish passes** (`_finish_tile_kernel`): after each
+  cross-tile stage the remaining strides < T run in VMEM again, with the
+  tile's global direction derived from its program id.
+
+Keys are (w0, w1) uint32 word pairs compared lexicographically, matching
+`jax.lax.sort([w0, w1], num_keys=2)` order (ties between equal keys are
+unordered — fine for counting, where equal keys are interchangeable).
+Unsigned order is obtained by sign-flipping to int32 at the boundary
+(Mosaic compares are signed).
+
+Gate: `count_chunk_runs` uses this path when MITOFLEX_PALLAS_SORT=1 and
+the key is exactly 2 words; `lax.sort` stays the default until the TPU
+benchmark says otherwise (scripts/microbench.py psort).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SIGN = jnp.int32(-0x80000000)
+
+
+def _flip(w: jax.Array) -> jax.Array:
+    """uint32 -> sign-flipped int32 with the same total order."""
+    return jax.lax.bitcast_convert_type(w, jnp.int32) ^ SIGN
+
+
+def _unflip(w: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(w ^ SIGN, jnp.uint32)
+
+
+def _butterfly_rows(x: jax.Array, sr: int) -> jax.Array:
+    """Partner values for stride sr ROWS: x[r ^ sr] via a static reshape
+    swap (leading-axis reshapes keep the (sublane, lane) layout)."""
+    R, L = x.shape
+    y = x.reshape(R // (2 * sr), 2, sr, L)
+    y = jnp.concatenate([y[:, 1:2], y[:, 0:1]], axis=1)
+    return y.reshape(R, L)
+
+
+def _butterfly_lanes(x: jax.Array, s: int, lane: jax.Array) -> jax.Array:
+    """Partner values for stride s < LANES: x[.., l ^ s] via two lane
+    rolls + a select on bit s of the lane index."""
+    up = pltpu.roll(x, LANES - s, 1)  # value from lane l + s (mod LANES)
+    dn = pltpu.roll(x, s, 1)          # value from lane l - s
+    return jnp.where((lane & s) == 0, up, dn)
+
+
+def _cmpex(w0, w1, o0, o1, want_small):
+    """Take the partner iff it is on the wanted side of the order."""
+    o_lt = jnp.logical_or(o0 < w0, jnp.logical_and(o0 == w0, o1 < w1))
+    o_gt = jnp.logical_or(o0 > w0, jnp.logical_and(o0 == w0, o1 > w1))
+    take = jnp.where(want_small, o_lt, o_gt)
+    return jnp.where(take, o0, w0), jnp.where(take, o1, w1)
+
+
+def _substage(w0, w1, s, want_small, lane):
+    if s >= LANES:
+        o0 = _butterfly_rows(w0, s // LANES)
+        o1 = _butterfly_rows(w1, s // LANES)
+    else:
+        o0 = _butterfly_lanes(w0, s, lane)
+        o1 = _butterfly_lanes(w1, s, lane)
+    return _cmpex(w0, w1, o0, o1, want_small)
+
+
+def _tile_indices(R):
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    return row * LANES + lane, lane
+
+
+def _sort_tile_kernel(w0_ref, w1_ref, o0_ref, o1_ref, *, tile):
+    """Full bitonic sort of one tile. Directions use the GLOBAL element
+    index (tile base + local index): the network's later cross-tile
+    stages require tiles to alternate ascending/descending by the base's
+    bit of each block size. All stages in VMEM."""
+    R = tile // LANES
+    i, lane = _tile_indices(R)
+    ig = i + pl.program_id(0) * tile
+    w0, w1 = w0_ref[:], w1_ref[:]
+    m = tile.bit_length() - 1
+    for kk in range(1, m + 1):
+        block = 1 << kk
+        asc = (ig & block) == 0
+        for j in range(kk - 1, -1, -1):
+            s = 1 << j
+            is_lower = (i & s) == 0
+            want_small = is_lower == asc
+            w0, w1 = _substage(w0, w1, s, want_small, lane)
+    o0_ref[:] = w0
+    o1_ref[:] = w1
+
+
+def _finish_tile_kernel(w0_ref, w1_ref, o0_ref, o1_ref, *, tile, block):
+    """Strides < tile of one global bitonic stage `block` (>= 2*tile):
+    the direction is constant per tile — derived from the tile's base
+    index bit of `block`."""
+    R = tile // LANES
+    i, lane = _tile_indices(R)
+    base = pl.program_id(0) * tile
+    asc = (base & block) == 0          # scalar per tile
+    w0, w1 = w0_ref[:], w1_ref[:]
+    m = tile.bit_length() - 1
+    for j in range(m - 1, -1, -1):
+        s = 1 << j
+        is_lower = (i & s) == 0
+        want_small = is_lower == asc
+        w0, w1 = _substage(w0, w1, s, want_small, lane)
+    o0_ref[:] = w0
+    o1_ref[:] = w1
+
+
+def _tile_call(kernel, w0, w1, tile, interpret, **kw):
+    N = w0.shape[0]
+    grid = (N // tile,)
+    R = tile // LANES
+    spec = pl.BlockSpec((R, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    out0, out1 = pl.pallas_call(
+        functools.partial(kernel, tile=tile, **kw),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N // LANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((N // LANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(w0.reshape(N // LANES, LANES), w1.reshape(N // LANES, LANES))
+    return out0.reshape(N), out1.reshape(N)
+
+
+def _cross_butterfly(x: jax.Array, tiles: int, tile: int, sr: int) -> jax.Array:
+    """Compare-free partner fetch across tiles: x viewed [tiles, tile],
+    partner tile = t ^ sr (sr in tiles)."""
+    y = x.reshape(tiles // (2 * sr), 2, sr, tile)
+    y = jnp.concatenate([y[:, 1:2], y[:, 0:1]], axis=1)
+    return y.reshape(tiles * tile)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def bitonic_sort2(
+    w0: jax.Array, w1: jax.Array, tile: int = 1 << 14, interpret: bool = False
+):
+    """Sort (w0, w1) uint32 pairs lexicographically ascending.
+
+    N = len(w0) must be a power of two and a multiple of `tile`
+    (callers pad with 0xFFFFFFFF sentinels, which sort last).
+    Returns sorted (w0, w1) uint32."""
+    N = w0.shape[0]
+    assert N & (N - 1) == 0 and N % tile == 0, (N, tile)
+    f0, f1 = _flip(w0), _flip(w1)
+    f0, f1 = _tile_call(_sort_tile_kernel, f0, f1, tile, interpret)
+    tiles = N // tile
+    mT = tile.bit_length() - 1
+    mN = N.bit_length() - 1
+    i_global = None
+    for kk in range(mT + 1, mN + 1):
+        block = 1 << kk
+        # cross-tile strides: elementwise row butterflies in XLA
+        for j in range(kk - 1, mT - 1, -1):
+            s = 1 << j
+            o0 = _cross_butterfly(f0, tiles, tile, s // tile)
+            o1 = _cross_butterfly(f1, tiles, tile, s // tile)
+            if i_global is None:
+                i_global = jnp.arange(N, dtype=jnp.int32)
+            asc = (i_global & block) == 0
+            want_small = ((i_global & s) == 0) == asc
+            f0, f1 = _cmpex(f0, f1, o0, o1, want_small)
+        # remaining strides < tile: back into VMEM
+        f0, f1 = _tile_call(
+            _finish_tile_kernel, f0, f1, tile, interpret, block=block
+        )
+    return _unflip(f0), _unflip(f1)

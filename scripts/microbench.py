@@ -5,7 +5,7 @@ input perturbation and a scalar reduction readback, so the wall clock
 covers real executions regardless of async dispatch or remote result
 caching (see bench.py). Run on the target backend:
 
-    python scripts/microbench.py [filter|kmer|viterbi|sw|genewise|all]
+    python scripts/microbench.py [filter|kmer|viterbi|sw|genewise|psort|all]
 """
 
 from __future__ import annotations
@@ -188,6 +188,39 @@ def bench_genewise():
     print(f"genewise    : {dt*1e3:8.2f} ms/batch  {cells/dt/1e9:8.2f} Gcell/s")
 
 
+def bench_psort(n=1 << 22, tile=1 << 14):
+    import jax
+    import jax.numpy as jnp
+
+    from mitoflex_tpu.ops import psort
+
+    rng = np.random.default_rng(0)
+    w0 = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32))
+    w1 = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32))
+
+    def make_xla(iters):
+        @jax.jit
+        def run(seed):
+            def body(i, acc):
+                s = jax.lax.sort([w0 ^ (i + seed).astype(jnp.uint32), w1], num_keys=2)
+                return acc + s[0][0].astype(jnp.int32)
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+        return run
+
+    def make_pallas(iters):
+        @jax.jit
+        def run(seed):
+            def body(i, acc):
+                s0, _ = psort.bitonic_sort2(w0 ^ (i + seed).astype(jnp.uint32), w1, tile=tile)
+                return acc + s0[0].astype(jnp.int32)
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+        return run
+
+    for name, mk in (("lax.sort2", make_xla), ("psort2", make_pallas)):
+        dt = _timed_loop(mk, iters=8)
+        print(f"{name:10s} n={n}: {dt*1e3:8.2f} ms  {n/dt/1e6:8.1f} Mkeys/s")
+
+
 if __name__ == "__main__":
     import jax
 
@@ -195,8 +228,10 @@ if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}")
     table = {
         "filter": bench_filter, "kmer": bench_kmer, "viterbi": bench_viterbi,
-        "sw": bench_sw, "genewise": bench_genewise,
+        "sw": bench_sw, "genewise": bench_genewise, "psort": bench_psort,
     }
     for name, fn in table.items():
         if which in (name, "all"):
             fn()
+
+

@@ -324,3 +324,26 @@ def test_multiword_member_sorted_all_ones_collision():
         [jnp.asarray(padded2[:, 0])], jnp.int32(3), [jnp.asarray(q[:, 0])]
     ))
     np.testing.assert_array_equal(got2, [True, True, False])
+
+
+def test_pallas_bitonic_sort_matches_lax_sort():
+    """Interpret-mode bitonic sort == lax.sort on 2-word keys, including
+    duplicates and all-ones sentinels (the k-mer padding contract)."""
+    import jax.numpy as jnp
+    from mitoflex_tpu.ops import psort
+
+    rng = np.random.default_rng(3)
+    N, tile = 1 << 15, 1 << 13
+    w0 = rng.integers(0, 2**32, N, dtype=np.uint64).astype(np.uint32)
+    w1 = rng.integers(0, 2**32, N, dtype=np.uint64).astype(np.uint32)
+    w0[:64] = w0[64:128]
+    w1[:64] = w1[64:128]
+    w0[-32:] = 0xFFFFFFFF
+    w1[-32:] = 0xFFFFFFFF
+    s0, s1 = psort.bitonic_sort2(
+        jnp.asarray(w0), jnp.asarray(w1), tile=tile, interpret=True
+    )
+    import jax
+    r0, r1 = jax.lax.sort([jnp.asarray(w0), jnp.asarray(w1)], num_keys=2)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(r0))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(r1))
