@@ -215,9 +215,29 @@ def count_chunk_runs(
             for pair in zip(w_f, w_r)
         ]
         valid = jnp.concatenate(valid2).reshape(-1)
-    n = valid.shape[0]
     W = len(words)
-    s_words = list(jax.lax.sort(words, num_keys=W))
+    # MITOFLEX_PALLAS_SORT=1 routes 2-word keys through the Pallas bitonic
+    # sort (ops/psort.py); read at trace time, so flip it before first use
+    import os as _os
+
+    if W == 2 and _os.environ.get("MITOFLEX_PALLAS_SORT") == "1":
+        from . import psort
+
+        n0 = valid.shape[0]
+        n = 1 << max(n0 - 1, 1).bit_length()   # pad to a power of two
+        pad = n - n0
+        if pad:
+            words = [
+                jnp.concatenate([w, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)])
+                for w in words
+            ]
+            valid = jnp.concatenate([valid, jnp.zeros((pad,), jnp.bool_)])
+        s_words = list(
+            psort.bitonic_sort2(words[0], words[1], tile=min(1 << 14, n))
+        )
+    else:
+        n = valid.shape[0]
+        s_words = list(jax.lax.sort(words, num_keys=W))
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     all_ones = jnp.ones((n,), jnp.bool_)

@@ -347,3 +347,30 @@ def test_pallas_bitonic_sort_matches_lax_sort():
     r0, r1 = jax.lax.sort([jnp.asarray(w0), jnp.asarray(w1)], num_keys=2)
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(r0))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(r1))
+
+
+def test_count_chunk_runs_pallas_sort_gate(monkeypatch, rng):
+    """The MITOFLEX_PALLAS_SORT path produces the same (key, count) table
+    as the default lax.sort path (W=2, interpret mode on CPU)."""
+    import functools
+
+    from mitoflex_tpu.ops import kmer as K
+    from mitoflex_tpu.ops import psort
+
+    k = 31  # (k+1)=32 bases -> exactly 2 words
+    seqs = rng.integers(0, 4, (64, 100)).astype(np.int8)
+    lengths = np.full(64, 100, np.int32)
+    base_keys, base_counts = K.count_chunk_host(seqs, lengths, k, canonical=True)
+
+    monkeypatch.setenv("MITOFLEX_PALLAS_SORT", "1")
+    monkeypatch.setattr(
+        psort, "bitonic_sort2",
+        functools.partial(psort.bitonic_sort2.__wrapped__, interpret=True),
+    )
+    K.count_chunk_runs.clear_cache()
+    try:
+        keys, counts = K.count_chunk_host(seqs, lengths, k, canonical=True)
+    finally:
+        K.count_chunk_runs.clear_cache()
+    np.testing.assert_array_equal(keys, base_keys)
+    np.testing.assert_array_equal(counts, base_counts)
