@@ -24,7 +24,7 @@ megahit_core), rebuilt on the XLA graph engine (ops/kmer.py + ops/dbg.py):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
