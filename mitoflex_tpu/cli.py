@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 import traceback
@@ -188,6 +189,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     t0 = time.time()
     ctx = PipelineContext.create(cfg)
+    # structured device tracing (SURVEY.md §5: the reference only has the
+    # @timed wall clocks; we add real profiler traces): when set, every
+    # stage's device work lands in a TensorBoard-loadable trace directory
+    profile_dir = os.environ.get("MITOFLEX_JAX_PROFILE")
+    prof_cm = None
+    if profile_dir:
+        import jax
+
+        prof_cm = jax.profiler.trace(profile_dir, create_perfetto_trace=True)
+        prof_cm.__enter__()
+        logger.info(f"jax profiler tracing to {profile_dir}")
     try:
         if args.command == "filter":
             res = run_filter(ctx, args.fastq1, args.fastq2)
@@ -246,6 +258,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         logger.replay_suppressed()
         return 2
     finally:
+        if prof_cm is not None:
+            prof_cm.__exit__(None, None, None)
+            logger.info(f"jax profiler trace written to {profile_dir}")
         logger.finalize()
 
 
