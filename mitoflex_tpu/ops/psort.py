@@ -63,18 +63,30 @@ def _butterfly_rows(x: jax.Array, sr: int) -> jax.Array:
 
 def _butterfly_lanes(x: jax.Array, s: int, lane: jax.Array) -> jax.Array:
     """Partner values for stride s < LANES: x[.., l ^ s] via two lane
-    rolls + a select on bit s of the lane index."""
+    rolls + an arithmetic select on bit s of the lane index (int32 masks
+    only — see _cmpex)."""
     up = pltpu.roll(x, LANES - s, 1)  # value from lane l + s (mod LANES)
     dn = pltpu.roll(x, s, 1)          # value from lane l - s
-    return jnp.where((lane & s) == 0, up, dn)
+    low = ((lane & s) == 0).astype(jnp.int32)
+    return dn + low * (up - dn)
 
 
-def _cmpex(w0, w1, o0, o1, want_small):
-    """Take the partner iff it is on the wanted side of the order."""
-    o_lt = jnp.logical_or(o0 < w0, jnp.logical_and(o0 == w0, o1 < w1))
-    o_gt = jnp.logical_or(o0 > w0, jnp.logical_and(o0 == w0, o1 > w1))
-    take = jnp.where(want_small, o_lt, o_gt)
-    return jnp.where(take, o0, w0), jnp.where(take, o1, w1)
+def _cmpex(w0, w1, o0, o1, want_small_i):
+    """Take the partner iff it is on the wanted side of the order.
+
+    ``want_small_i`` is an int32 0/1 mask and the select is arithmetic
+    (w + take*(o-w), exact under wrapping) — Mosaic cannot lower i1
+    vector selects/relayouts ("Unsupported target bitwidth for
+    truncation"), so no boolean vectors survive past the comparisons."""
+    lt0 = (o0 < w0).astype(jnp.int32)
+    gt0 = (o0 > w0).astype(jnp.int32)
+    eq0 = (o0 == w0).astype(jnp.int32)
+    lt1 = (o1 < w1).astype(jnp.int32)
+    gt1 = (o1 > w1).astype(jnp.int32)
+    o_lt = lt0 | (eq0 & lt1)
+    o_gt = gt0 | (eq0 & gt1)
+    take = want_small_i * o_lt + (1 - want_small_i) * o_gt
+    return w0 + take * (o0 - w0), w1 + take * (o1 - w1)
 
 
 def _substage(w0, w1, s, want_small, lane):
@@ -105,11 +117,11 @@ def _sort_tile_kernel(w0_ref, w1_ref, o0_ref, o1_ref, *, tile):
     m = tile.bit_length() - 1
     for kk in range(1, m + 1):
         block = 1 << kk
-        asc = (ig & block) == 0
+        asc = ((ig & block) == 0).astype(jnp.int32)
         for j in range(kk - 1, -1, -1):
             s = 1 << j
-            is_lower = (i & s) == 0
-            want_small = is_lower == asc
+            is_lower = ((i & s) == 0).astype(jnp.int32)
+            want_small = 1 - (is_lower ^ asc)
             w0, w1 = _substage(w0, w1, s, want_small, lane)
     o0_ref[:] = w0
     o1_ref[:] = w1
@@ -122,13 +134,13 @@ def _finish_tile_kernel(w0_ref, w1_ref, o0_ref, o1_ref, *, tile, block):
     R = tile // LANES
     i, lane = _tile_indices(R)
     base = pl.program_id(0) * tile
-    asc = (base & block) == 0          # scalar per tile
+    asc = ((base & block) == 0).astype(jnp.int32)  # scalar per tile
     w0, w1 = w0_ref[:], w1_ref[:]
     m = tile.bit_length() - 1
     for j in range(m - 1, -1, -1):
         s = 1 << j
-        is_lower = (i & s) == 0
-        want_small = is_lower == asc
+        is_lower = ((i & s) == 0).astype(jnp.int32)
+        want_small = 1 - (is_lower ^ asc)
         w0, w1 = _substage(w0, w1, s, want_small, lane)
     o0_ref[:] = w0
     o1_ref[:] = w1
@@ -187,8 +199,9 @@ def bitonic_sort2(
             o1 = _cross_butterfly(f1, tiles, tile, s // tile)
             if i_global is None:
                 i_global = jnp.arange(N, dtype=jnp.int32)
-            asc = (i_global & block) == 0
-            want_small = ((i_global & s) == 0) == asc
+            asc = ((i_global & block) == 0).astype(jnp.int32)
+            is_lower = ((i_global & s) == 0).astype(jnp.int32)
+            want_small = 1 - (is_lower ^ asc)
             f0, f1 = _cmpex(f0, f1, o0, o1, want_small)
         # remaining strides < tile: back into VMEM
         f0, f1 = _tile_call(
