@@ -25,8 +25,17 @@ Unsigned order is obtained by sign-flipping to int32 at the boundary
 (Mosaic compares are signed).
 
 Gate: `count_chunk_runs` uses this path when MITOFLEX_PALLAS_SORT=1 and
-the key is exactly 2 words; `lax.sort` stays the default until the TPU
-benchmark says otherwise (scripts/microbench.py psort).
+the key is exactly 2 words.
+
+MEASURED (v5e, 4M keys, honest device-loop harness): lax.sort2
+429 Mkeys/s vs this kernel 110 Mkeys/s. The bitonic network is
+compute-bound — ~217 substages x ~25 int32 VPU ops per element dwarf the
+HBM savings, and XLA's native sort HLO spends far fewer ops per
+compare-exchange. `lax.sort` therefore stays the default; beating it
+would need register-level multi-element sorting networks per stage
+(round 2+ if counting ever becomes the bottleneck again). Kept because
+it is the only TPU sort we fully control (fusable into future Mosaic
+pipelines) and as a worked, tested example of the technique.
 """
 
 from __future__ import annotations
