@@ -229,6 +229,77 @@ def load_cm_file(path: str) -> List[CovarianceModel]:
         return parse_cm_text(f)
 
 
+@dataclass
+class LocalConfig:
+    """Infernal-style local-mode parameters for a CM (cmsearch default).
+
+    Local BEGINS let the parse tree attach directly to any internal
+    MATP/MATL/MATR/BIF node (probability ``pbegin`` spread uniformly over
+    the internal candidates; node 1's entry keeps ``1-pbegin``). Local
+    ENDS let eligible states transition to a special EL state that emits
+    the remainder of their subtree's span at ``el_selfprob`` per residue
+    (probability ``pend`` spread uniformly; the state's own transitions
+    are renormalised by the complement). Together these score 5'/3'-
+    TRUNCATED hits sensibly — the part of the model falling off the
+    window edge is skipped via a begin/end instead of a ruinous chain of
+    delete transitions. This mirrors Infernal's cm_ConfigLocal defaults
+    (pbegin = pend = 0.05, el self-probability 0.94); the reference runs
+    cmsearch in this default local mode (annotation_tookit.py:394).
+    """
+
+    begin_sc: np.ndarray   # [S] bits; NEG where not a begin candidate
+    end_sc: np.ndarray     # [S] bits; NEG where not an end candidate
+    trans_adj: np.ndarray  # [S] bits added to every transition out of v
+    el_selfsc: float       # bits per EL-emitted residue
+
+
+def local_config(
+    model: "CovarianceModel",
+    pbegin: float = 0.05,
+    pend: float = 0.05,
+    el_selfprob: float = 0.94,
+) -> LocalConfig:
+    """Compute local begin/end score vectors for ``model`` (see
+    :class:`LocalConfig`)."""
+    Sn = model.n_states
+    begin_sc = np.full(Sn, NEG, np.float32)
+    end_sc = np.full(Sn, NEG, np.float32)
+    trans_adj = np.zeros(Sn, np.float32)
+
+    begin_kinds = ("MATP", "MATL", "MATR", "BIF")
+    cands = [
+        nd for nd in range(1, model.n_nodes)
+        if model.nodes[nd].kind in begin_kinds and model.nodes[nd].state_ids
+    ]
+    for nd in cands:
+        first = model.nodes[nd].state_ids[0]
+        if nd == 1:
+            begin_sc[first] = np.log2(1.0 - pbegin)
+        else:
+            begin_sc[first] = np.log2(pbegin / max(len(cands) - 1, 1))
+
+    end_kinds = ("MATP", "MATL", "MATR", "BEGL", "BEGR")
+    exits = [
+        nd for nd in range(1, model.n_nodes - 1)
+        if model.nodes[nd].kind in end_kinds
+        and model.nodes[nd + 1].kind != "END"
+        and model.nodes[nd].state_ids
+    ]
+    if exits:
+        p_exit = pend / len(exits)
+        for nd in exits:
+            first = model.nodes[nd].state_ids[0]
+            end_sc[first] = np.log2(p_exit)
+            trans_adj[first] = np.log2(1.0 - p_exit)
+
+    return LocalConfig(
+        begin_sc=begin_sc,
+        end_sc=end_sc,
+        trans_adj=trans_adj,
+        el_selfsc=float(np.log2(el_selfprob)),
+    )
+
+
 def cm_evalue(model: "CovarianceModel", score_bits: float,
               search_residues: float, key: str = "ECMLC") -> float | None:
     """Infernal-style exponential-tail E-value for a CM bit score.

@@ -278,10 +278,14 @@ def _cyk_banded_refine(
     contig: FastaRecord,
     hit: CmHit,
     slack: int = 48,
+    local: bool = True,
 ) -> CmHit:
     """Rescore an rRNA filter hit with the banded CYK; falls back to the
-    p7 hit when the bands exclude every parse (e.g. heavily truncated or
-    rearranged targets)."""
+    p7 hit when the bands exclude every parse (e.g. heavily rearranged
+    targets). Runs in Infernal-style LOCAL mode by default — cmsearch's
+    own default, the mode the ECMLC calibration line describes, and the
+    mode that scores 5'/3'-truncated hits (genes running off a contig
+    end) sensibly via local begins/ends instead of delete chains."""
     codes = contig.codes
     lo, hi = hit.span()
     lo0, hi0 = lo - 1, hi          # 0-based half open, plus strand
@@ -302,7 +306,9 @@ def _cyk_banded_refine(
         return hit
     anchor = (env0, env1, hit.mdlfrom - 1, hit.mdlto - 1)
     try:
-        aln = cyk_ops.cyk_banded(model, np.asarray(window), anchor, slack)
+        aln = cyk_ops.cyk_banded(
+            model, np.asarray(window), anchor, slack, local=local
+        )
     except Exception as e:  # banding is an optimization, never a hard fail
         logger.warn(f"banded CYK failed on {model.name}: {e}")
         return hit

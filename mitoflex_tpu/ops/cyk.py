@@ -190,14 +190,38 @@ def _emit_single_scores(model, window):
     return esc
 
 
-def cyk_align(model: cm_models.CovarianceModel, window: np.ndarray) -> Optional[CykAlignment]:
+def cyk_align(
+    model: cm_models.CovarianceModel,
+    window: np.ndarray,
+    local: bool = False,
+) -> Optional[CykAlignment]:
     """Exact CYK over a window (base codes). Returns the best local-span
-    alignment or None if nothing scores above NEG/2."""
+    alignment or None if nothing scores above NEG/2.
+
+    ``local=True`` enables Infernal-style local mode (cmsearch's default;
+    models/cm.py local_config): the parse may BEGIN at any internal
+    MATP/MATL/MATR/BIF node and may END any eligible subtree early
+    through an EL state that emits the rest of the span at ~0 bits per
+    residue. This is what scores 5'/3'-truncated hits sensibly — model
+    regions falling off the window edge are skipped by a begin/end
+    instead of a ruinous delete chain. Glocal (default) is kept for the
+    tRNA path, whose anticodon validation needs the full cloverleaf
+    traceback."""
     L = len(window)
     Sn = model.n_states
     esc = _emit_single_scores(model, window)
     ok = window < 4
     widx = np.clip(window, 0, 3)
+
+    lc = cm_models.local_config(model) if local else None
+    el_deck = None
+    if local:
+        bb = np.arange(L + 1)
+        el_deck = np.where(
+            bb[None, :] >= bb[:, None],
+            (bb[None, :] - bb[:, None]) * lc.el_selfsc,
+            NEG,
+        ).astype(np.float32)
 
     alpha = np.full((Sn, L + 1, L + 1), NEG, np.float32)
     iu = np.triu_indices(L + 1)  # valid spans i <= j
@@ -225,6 +249,8 @@ def cyk_align(model: cm_models.CovarianceModel, window: np.ndarray) -> Optional[
             continue
         kids = children(v)
         ts = trans[v]
+        if local:
+            ts = ts + lc.trans_adj[v]
         base = np.full((L + 1, L + 1), NEG, np.float32)
         self_t = None
         for ci, c in enumerate(kids):
@@ -242,6 +268,22 @@ def cyk_align(model: cm_models.CovarianceModel, window: np.ndarray) -> Optional[
             elif st == MP:
                 cand = np.full((L + 1, L + 1), NEG, np.float32)
                 cand[:L, 1:] = alpha[c][1:, :L] + ts[ci]
+            np.maximum(base, cand, out=base)
+        if local and lc.end_sc[v] > NEG / 2:
+            # local end: an extra pseudo-child EL whose deck scores the
+            # remaining span at el_selfsc bits per residue
+            t_el = float(lc.end_sc[v])
+            if st in (S, D):
+                cand = el_deck + t_el
+            elif st in (ML, IL):
+                cand = np.full((L + 1, L + 1), NEG, np.float32)
+                cand[:L, :] = el_deck[1:, :] + t_el
+            elif st in (MR, IR):
+                cand = np.full((L + 1, L + 1), NEG, np.float32)
+                cand[:, 1:] = el_deck[:, :L] + t_el
+            else:  # MP
+                cand = np.full((L + 1, L + 1), NEG, np.float32)
+                cand[:L, 1:] = el_deck[1:, :L] + t_el
             np.maximum(base, cand, out=base)
         # add emissions
         if st in (ML, IL):
@@ -275,10 +317,25 @@ def cyk_align(model: cm_models.CovarianceModel, window: np.ndarray) -> Optional[
         np.clip(base, NEG, None, out=base)
         alpha[v] = base
 
-    root = alpha[0]
-    flat = np.argmax(root)
-    bi, bj = divmod(int(flat), L + 1)
-    best = float(root[bi, bj])
+    if local:
+        # local begins: the parse attaches at the best-scoring candidate
+        # state instead of the ROOT_S deck
+        best, bv, bi, bj = NEG, 0, 0, 0
+        for v in range(Sn):
+            bsc = float(lc.begin_sc[v])
+            if bsc <= NEG / 2:
+                continue
+            flat = int(np.argmax(alpha[v]))
+            i, j = divmod(flat, L + 1)
+            val = float(alpha[v][i, j]) + bsc
+            if val > best:
+                best, bv, bi, bj = val, v, i, j
+    else:
+        bv = 0
+        root = alpha[0]
+        flat = np.argmax(root)
+        bi, bj = divmod(int(flat), L + 1)
+        best = float(root[bi, bj])
     if best < NEG / 2 or bj <= bi:
         return None
 
@@ -294,7 +351,7 @@ def cyk_align(model: cm_models.CovarianceModel, window: np.ndarray) -> Optional[
         anchor = layout.pos_of_node.get((node, "L"), layout.pos_of_node.get((node, "R"), -1))
         inserts.setdefault(anchor, []).append(t)
 
-    stack = [(0, bi, bj)]
+    stack = [(bv, bi, bj)]
     guard = 0
     while stack:
         guard += 1
@@ -313,6 +370,8 @@ def cyk_align(model: cm_models.CovarianceModel, window: np.ndarray) -> Optional[
             continue
         kids = children(v)
         ts = trans[v]
+        if local:
+            ts = ts + lc.trans_adj[v]
         found = False
         node = int(model.node_of[v])
         for ci, c in enumerate(kids):
@@ -362,6 +421,34 @@ def cyk_align(model: cm_models.CovarianceModel, window: np.ndarray) -> Optional[
                 stack.append((c, ni, nj))
                 found = True
                 break
+        if not found and local and lc.end_sc[v] > NEG / 2:
+            # local end: emit this state's residues, then EL absorbs the
+            # remaining span — the subtree below is truncated away
+            t_el = float(lc.end_sc[v])
+            if st == S:
+                val = t_el + el_deck[i, j]
+                emit = None
+            elif st == ML and i < j and i < L:
+                val = esc[v, i] + t_el + el_deck[i + 1, j]
+                emit = ("L", i)
+            elif st == MR and j > i and j - 1 >= 0:
+                val = esc[v, j - 1] + t_el + el_deck[i, j - 1]
+                emit = ("R", j - 1)
+            elif st == MP and j - i >= 2 and ok[i] and ok[j - 1]:
+                pe = model.emit_pair[v].reshape(4, 4)
+                val = pe[widx[i], widx[j - 1]] + t_el + el_deck[i + 1, j - 1]
+                emit = ("P", (i, j - 1))
+            else:
+                val, emit = NEG, None
+            if abs(val - cur) < 1e-3:
+                if emit is not None and emit[0] == "P":
+                    residue_of_pos[layout.pos_of_node[(node, "L")]] = emit[1][0]
+                    residue_of_pos[layout.pos_of_node[(node, "R")]] = emit[1][1]
+                elif emit is not None and emit[0] == "L":
+                    residue_of_pos[layout.pos_of_node[(node, "L")]] = emit[1]
+                elif emit is not None and emit[0] == "R":
+                    residue_of_pos[layout.pos_of_node[(node, "R")]] = emit[1]
+                found = True
         if not found:
             # numeric mismatch; stop cleanly
             continue
@@ -439,6 +526,7 @@ def cyk_banded(
     window: np.ndarray,
     anchor: Tuple[int, int, int, int],
     slack: int = 48,
+    local: bool = False,
 ) -> Optional[CykAlignment]:
     """Banded CYK over ``window`` (base codes) with colinear bands.
 
@@ -446,9 +534,19 @@ def cyk_banded(
     filter envelope and the 0-based consensus positions [p0, p1] it spans
     (hmm_from-1, hmm_to-1). Consensus position p is expected near
     est(p) = w0 + (p - p0) * (w1 - w0) / (p1 - p0); every state's span
-    boundaries are banded est +- slack. Returns score + window
-    coordinates (no traceback — rRNA consumers need coords/score only),
-    or None when the bands exclude every parse.
+    boundaries are banded est +- slack, CLAMPED to the window — states
+    whose consensus region extrapolates past either window edge (a
+    5'/3'-truncated hit) get pinpoint zero-width bands there instead of
+    excluding the parse. Returns score + window coordinates (no
+    traceback — rRNA consumers need coords/score only), or None when
+    nothing scores.
+
+    ``local=True`` adds Infernal-style local begins/ends (models/cm.py
+    local_config; cmsearch's default mode, and the mode the ECMLC
+    E-value calibration line refers to): truncated model regions are
+    then skipped via a local begin or an EL end rather than a delete
+    chain, giving sensible bit scores for hits running off contig ends.
+    mdl_from/mdl_to report the winning begin state's consensus subtree.
 
     Exactness: with slack >= window length this reduces to the full CYK
     (tested against cyk_align); with tight bands it is a lower bound on
@@ -459,6 +557,15 @@ def cyk_banded(
     esc = _emit_single_scores(model, window)
     ok = window < 4
     widx = np.clip(window, 0, 3)
+
+    lc = cm_models.local_config(model) if local else None
+
+    def el_fetch(a0: int, a1: int, b0: int, b1: int) -> np.ndarray:
+        """EL pseudo-child deck over boundary ranges [a0,a1) x [b0,b1)."""
+        ii = np.arange(a0, a1)[:, None]
+        jj = np.arange(b0, b1)[None, :]
+        valid = (jj >= ii) & (ii >= 0) & (jj <= L)
+        return np.where(valid, (jj - ii) * lc.el_selfsc, NEG).astype(np.float32)
 
     w0, w1, p0, p1 = anchor
     clen = model.clen
@@ -478,12 +585,12 @@ def cyk_banded(
         cl, cr = spans[int(model.node_of[v])]
         ci = est(cl)
         cj = est(cr)
-        ilo[v] = max(0, int(np.floor(ci)) - slack)
-        ihi[v] = min(L, int(np.ceil(ci)) + slack) + 1
-        jlo[v] = max(0, int(np.floor(cj)) - slack)
-        jhi[v] = min(L, int(np.ceil(cj)) + slack) + 1
-        if ihi[v] <= ilo[v] or jhi[v] <= jlo[v]:
-            return None
+        # clamp into [0, L]: estimates past a window edge (truncated hit)
+        # collapse to a pinpoint band AT the edge, never an empty band
+        ilo[v] = min(max(0, int(np.floor(ci)) - slack), L)
+        ihi[v] = min(L, max(int(np.ceil(ci)) + slack, 0)) + 1
+        jlo[v] = min(max(0, int(np.floor(cj)) - slack), L)
+        jhi[v] = min(L, max(int(np.ceil(cj)) + slack, 0)) + 1
 
     blocks: List[Optional[np.ndarray]] = [None] * Sn
 
@@ -514,7 +621,9 @@ def cyk_banded(
             m0 = max(int(jlo[l]), int(ilo[r]))
             m1 = min(int(jhi[l]), int(ihi[r]))
             if m0 >= m1:
-                return None
+                # children's seam bands miss each other: dead state
+                blocks[v] = np.full((i1 - i0, j1 - j0), NEG, np.float32)
+                continue
             lb = fetch(l, i0, i1, m0, m1)             # [I, M]
             rb = fetch(r, m0, m1, j0, j1)             # [M, J]
             blk = (lb[:, :, None] + rb[None, :, :]).max(axis=1)
@@ -523,6 +632,8 @@ def cyk_banded(
 
         kids = list(range(int(cfirst[v]), int(cfirst[v]) + int(cnum[v])))
         ts = trans[v]
+        if local:
+            ts = ts + lc.trans_adj[v]
         blk = np.full((i1 - i0, j1 - j0), NEG, np.float32)
         self_t = None
         for ci_, c in enumerate(kids):
@@ -540,6 +651,17 @@ def cyk_banded(
                 cand = fetch(c, i0 + 1, i1 + 1, j0 - 1, j1 - 1) + t
             else:
                 continue
+            np.maximum(blk, cand, out=blk)
+        if local and lc.end_sc[v] > NEG / 2:
+            t_el = float(lc.end_sc[v])
+            if st in (S, D):
+                cand = el_fetch(i0, i1, j0, j1) + t_el
+            elif st in (ML, IL):
+                cand = el_fetch(i0 + 1, i1 + 1, j0, j1) + t_el
+            elif st in (MR, IR):
+                cand = el_fetch(i0, i1, j0 - 1, j1 - 1) + t_el
+            else:  # MP
+                cand = el_fetch(i0 + 1, i1 + 1, j0 - 1, j1 - 1) + t_el
             np.maximum(blk, cand, out=blk)
         # emissions
         if st in (ML, IL):
@@ -582,16 +704,33 @@ def cyk_banded(
         np.clip(blk, NEG, None, out=blk)
         blocks[v] = blk
 
-    root = blocks[0]
-    flat = int(np.argmax(root))
-    ri, rj = divmod(flat, root.shape[1])
-    best = float(root[ri, rj])
-    bi = int(ilo[0]) + ri
-    bj = int(jlo[0]) + rj
+    if local:
+        best, bi, bj, bspan = NEG, 0, 0, (0, model.clen)
+        for v in range(Sn):
+            bsc = float(lc.begin_sc[v])
+            if bsc <= NEG / 2 or blocks[v] is None:
+                continue
+            flat = int(np.argmax(blocks[v]))
+            ri, rj = divmod(flat, blocks[v].shape[1])
+            val = float(blocks[v][ri, rj]) + bsc
+            if val > best:
+                best = val
+                bi = int(ilo[v]) + ri
+                bj = int(jlo[v]) + rj
+                bspan = spans[int(model.node_of[v])]
+        mdl_from, mdl_to = bspan[0] + 1, bspan[1]
+    else:
+        root = blocks[0]
+        flat = int(np.argmax(root))
+        ri, rj = divmod(flat, root.shape[1])
+        best = float(root[ri, rj])
+        bi = int(ilo[0]) + ri
+        bj = int(jlo[0]) + rj
+        mdl_from, mdl_to = 1, model.clen
     if best < NEG / 2 or bj <= bi:
         return None
     return CykAlignment(
         score=best, seq_from=bi, seq_to=bj - 1,
         aligned_seq="", aligned_fold="",
-        mdl_from=1, mdl_to=model.clen, residue_of_pos={},
+        mdl_from=mdl_from, mdl_to=mdl_to, residue_of_pos={},
     )

@@ -95,6 +95,95 @@ def test_trna_search_on_embedded_trna(lys_model, rng):
 RRNA_DIR = "/root/reference/profile/rRNA_CM"
 
 
+@needs_ref
+def test_local_config_distributions(lys_model):
+    """Begin probabilities sum to 1 over the candidates; ends are shared
+    uniformly with matching transition renormalisation."""
+    from mitoflex_tpu.models import cm as cm_models
+
+    lc = cm_models.local_config(lys_model)
+    begins = lc.begin_sc[lc.begin_sc > cyk.NEG / 2]
+    assert begins.size > 1
+    assert abs(float(np.sum(np.exp2(begins))) - 1.0) < 1e-4
+    assert float(np.max(begins)) == pytest.approx(np.log2(0.95), abs=1e-5)
+    ends = lc.end_sc[lc.end_sc > cyk.NEG / 2]
+    assert ends.size > 0
+    assert abs(float(np.sum(np.exp2(ends))) - 0.05) < 1e-4
+    # every end candidate's transitions are scaled by the complement
+    for v in np.nonzero(lc.end_sc > cyk.NEG / 2)[0]:
+        assert lc.trans_adj[v] == pytest.approx(
+            np.log2(1.0 - 2.0 ** lc.end_sc[v]), abs=1e-5
+        )
+    assert lc.el_selfsc == pytest.approx(np.log2(0.94), abs=1e-6)
+
+
+@needs_ref
+def test_local_cyk_full_length_near_glocal(lys_model):
+    """On a full-length consensus the local parse is the glocal parse
+    minus only the tiny begin/renormalisation costs."""
+    lay = cyk.consensus_layout(lys_model)
+    win = encoding.encode(lay.cons.upper().replace("U", "T"))
+    glocal = cyk.cyk_align(lys_model, win)
+    loc = cyk.cyk_align(lys_model, win, local=True)
+    assert glocal is not None and loc is not None
+    assert abs(loc.score - glocal.score) < 3.0
+
+
+@needs_ref
+def test_local_cyk_rescues_truncated_trna(lys_model):
+    """A 3'-truncated tRNA (second half chopped off, as at a contig end)
+    scores respectably in local mode while glocal pays delete chains."""
+    lay = cyk.consensus_layout(lys_model)
+    cons = lay.cons.upper().replace("U", "T")
+    cut = int(len(cons) * 0.55)
+    win = encoding.encode(cons[:cut])
+    glocal = cyk.cyk_align(lys_model, win)
+    loc = cyk.cyk_align(lys_model, win, local=True)
+    assert loc is not None
+    g_score = glocal.score if glocal is not None else -1e9
+    assert loc.score > g_score + 10.0
+    assert loc.score > 8.0
+    # the traceback only touches the surviving 5' part of the model
+    assert loc.mdl_to < lys_model.clen
+
+
+@needs_ref
+def test_banded_local_matches_exact_local(lys_model, rng):
+    """With generous slack the banded local CYK reproduces the exact
+    local score (bands contain the optimal parse)."""
+    cons = lys_model.consensus().upper().replace("U", "T")
+    flank = "".join("ACGT"[i] for i in rng.integers(0, 4, 16))
+    window = np.asarray(encoding.encode(flank + cons + flank))
+    exact = cyk.cyk_align(lys_model, window, local=True)
+    anchor = (len(flank), len(flank) + len(cons) - 1, 0, lys_model.clen - 1)
+    banded = cyk.cyk_banded(lys_model, window, anchor, slack=96, local=True)
+    assert exact is not None and banded is not None
+    assert abs(banded.score - exact.score) < 1e-2
+    assert banded.seq_from == exact.seq_from
+    assert banded.seq_to == exact.seq_to
+
+
+@pytest.mark.skipif(not os.path.exists(RRNA_DIR), reason="rRNA CMs unavailable")
+def test_banded_local_truncated_rrna(rng):
+    """A 12s gene running off the contig's 3' end: the truncated envelope
+    extrapolates past the window edge; local mode still yields a strong
+    CM bit score where glocal banding collapses."""
+    m = load_cm_file(os.path.join(RRNA_DIR, "12s.cm"))[0]
+    cons = m.consensus().upper().replace("U", "T")
+    keep = int(len(cons) * 0.7)
+    flank = "".join("ACGT"[i] for i in rng.integers(0, 4, 80))
+    window = np.asarray(encoding.encode(flank + cons[:keep]))
+    # p7-style envelope: model positions [0, keep) map to the kept bases
+    anchor = (len(flank), len(flank) + keep - 1, 0, keep - 1)
+    loc = cyk.cyk_banded(m, window, anchor, slack=48, local=True)
+    glo = cyk.cyk_banded(m, window, anchor, slack=48, local=False)
+    assert loc is not None
+    assert loc.score > 300.0
+    g_score = glo.score if glo is not None else -1e9
+    assert loc.score > g_score + 50.0
+    assert loc.seq_from >= len(flank) - 3
+
+
 def test_banded_matches_exact_on_trna(lys_model, rng):
     """With any reasonable slack the banded CYK equals the exact DP on a
     planted consensus (bands contain the optimal parse)."""
