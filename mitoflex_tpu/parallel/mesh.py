@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import filter as filter_ops
 from ..ops import kmer as kmer_ops
 from ..ops import phmm as phmm_ops
+from ..ops import sw as sw_ops
 
 
 def make_mesh(
@@ -141,6 +142,39 @@ def viterbi_scan_sharded(
         # replicated (profile) values; skip the inference check
         check_vma=False,
     )(seqs, lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend", "mesh"))
+def sw_align_sharded(
+    mesh: Mesh,
+    queries: jax.Array,
+    q_lens: jax.Array,
+    targets: jax.Array,
+    t_lens: jax.Array,
+    submat: jax.Array,
+    gap_open: float = 11.0,
+    gap_extend: float = 1.0,
+) -> sw_ops.SwHits:
+    """Annotation-stage alignment fan-out: the reference shards its
+    tblastn/blastn query DB across a multiprocessing.Pool
+    (annotation_tookit.py:74-97); here (query, target) pairs shard over
+    the data axis with the substitution matrix replicated — the same
+    kernel that scores blast hits, genewise windows and remaps reads."""
+
+    def local(q, ql, t, tl, sm):
+        return sw_ops.sw_align(q, ql, t, tl, sm, gap_open, gap_extend)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(
+            P("data", None), P("data"), P("data", None), P("data"),
+            P(None, None),
+        ),
+        out_specs=sw_ops.SwHits(*([P("data")] * len(sw_ops.SwHits._fields))),
+        # the scan carry mixes device-varying rows with the replicated
+        # substitution matrix; skip the varying-axes inference check
+        check_vma=False,
+    )(queries, q_lens, targets, t_lens, submat)
 
 
 def pipeline_step(

@@ -188,6 +188,50 @@ def bench_genewise():
     print(f"genewise    : {dt*1e3:8.2f} ms/batch  {cells/dt/1e9:8.2f} Gcell/s")
 
 
+def bench_mapper(B=65536, L=100, n_contigs=8, contig_len=18000):
+    """Sort-join read mapper: B reads vs a mito-scale contig index."""
+    import jax
+    import jax.numpy as jnp
+
+    from mitoflex_tpu.io.fasta import FastaRecord
+    from mitoflex_tpu.ops import mapper as M
+
+    rng = np.random.default_rng(0)
+    contigs = [
+        FastaRecord(f"c{i}", "".join("ACGT"[b] for b in rng.integers(0, 4, contig_len)))
+        for i in range(n_contigs)
+    ]
+    index = M.ContigIndex.build(contigs)
+    # reads sampled from the contigs so the join does real work
+    seqs = np.zeros((B, L), np.int8)
+    for r in range(B):
+        c = contigs[rng.integers(0, n_contigs)].codes
+        s = rng.integers(0, len(c) - L)
+        seqs[r] = c[s : s + L]
+    ds = jnp.asarray(seqs)
+    dl = jnp.asarray(np.full(B, L, np.int32))
+
+    def make(iters):
+        @jax.jit
+        def run(seed):
+            def body(i, acc):
+                contig, pos, strand, votes = M._map_device(
+                    index.keys, index.contig_of, index.pos_of,
+                    ds ^ ((i + seed) & 3).astype(jnp.int8), dl,
+                )
+                return acc + jnp.sum(contig >= 0) + pos[0] + votes[0]
+
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        return run
+
+    dt = _timed_loop(make, iters=8)
+    print(
+        f"mapper      : {dt*1e3:8.2f} ms/{B//1024}k reads  "
+        f"{B/dt/1e6:8.2f} Mreads/s  {B*L/dt/1e9:8.2f} Gbase/s"
+    )
+
+
 def bench_psort(n=1 << 22, tile=1 << 14):
     import jax
     import jax.numpy as jnp
@@ -229,6 +273,7 @@ if __name__ == "__main__":
     table = {
         "filter": bench_filter, "kmer": bench_kmer, "viterbi": bench_viterbi,
         "sw": bench_sw, "genewise": bench_genewise, "psort": bench_psort,
+        "mapper": bench_mapper,
     }
     for name, fn in table.items():
         if which in (name, "all"):

@@ -49,6 +49,29 @@ def test_sharded_kmer_count_matches_single(mesh8, rng):
     )
 
 
+def test_sharded_sw_matches_single(mesh8, rng):
+    from mitoflex_tpu.ops import sw as sw_ops
+
+    B, L = 64, 80
+    seqs = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    tgts = seqs.copy()
+    tgts[:, 10:14] = (tgts[:, 10:14] + 1) % 4          # plant mismatches
+    lens = np.full(B, L, np.int32)
+    sm = jnp.asarray(sw_ops.nucleotide_matrix())
+    dq, dl, dt, dtl = mesh_mod.shard_batch(
+        mesh8, jnp.asarray(seqs), jnp.asarray(lens),
+        jnp.asarray(tgts), jnp.asarray(lens),
+    )
+    got = mesh_mod.sw_align_sharded(mesh8, dq, dl, dt, dtl, sm,
+                                    gap_open=5.0, gap_extend=2.0)
+    want = sw_ops.sw_align(jnp.asarray(seqs), jnp.asarray(lens),
+                           jnp.asarray(tgts), jnp.asarray(lens), sm,
+                           gap_open=5.0, gap_extend=2.0)
+    np.testing.assert_allclose(np.asarray(got.score), np.asarray(want.score))
+    np.testing.assert_array_equal(np.asarray(got.n_ident), np.asarray(want.n_ident))
+    np.testing.assert_array_equal(np.asarray(got.q_from), np.asarray(want.q_from))
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as ge
 
