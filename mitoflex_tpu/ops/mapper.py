@@ -118,26 +118,40 @@ def _last_valid_fill(has: jax.Array, *vals: jax.Array):
 def _rank_join(table_key: jax.Array, q: jax.Array) -> jax.Array:
     """For each query key, the POSITION of the last table row with an equal
     key (-1 if absent). Gather-free: one sort + two cummaxes + a restore
-    sort. Real keys must be non-negative int32 (15-mers are 30 bits);
-    NEGATIVE table keys are padding (position suppressed so they never win
-    the fill — they sort before every real key, so a leaked position would
-    poison the cummax for all queries). Query sentinel 2**30 never matches."""
+    sort. Real keys must be non-negative int32 < 2**30 (15-mers are 30
+    bits); NEGATIVE table keys are padding (remapped past the query
+    sentinel 2**30 with position suppressed, so they can never win a
+    fill). Sort operands are PACKED — (key, tag) into one int32 sort key,
+    (tag, row) into one restore key — because every extra operand of a
+    variadic lax.sort multiplies comparator cost on TPU."""
     T = table_key.shape[0]
     Q = q.shape[0]
-    key_cat = jnp.concatenate([table_key, q])
-    tag = jnp.concatenate([jnp.zeros((T,), jnp.int32), jnp.ones((Q,), jnp.int32)])
+    tkey = jnp.where(table_key >= 0, table_key, jnp.int32((1 << 30) + 1))
+    # packed sort key (uint32 — the query sentinel 2**30 packs to 2**31+1):
+    # key*2 + tag; ties put table rows first so the cummax fill sees them
+    # before equal-key queries
+    key_cat = jnp.concatenate(
+        [tkey.astype(jnp.uint32) * 2, q.astype(jnp.uint32) * 2 + 1]
+    )
     pos_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).squeeze(-1)
     pos_t = jnp.where(table_key >= 0, pos_t, -1)  # padding never wins
-    payload = jnp.concatenate([pos_t, jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0).squeeze(-1)])
-    s_key, s_tag, s_pay = jax.lax.sort([key_cat, tag, payload], num_keys=2)
-    # sorted by key => table keys are monotone; cummax is a valid fill
-    last_pos = jax.lax.cummax(jnp.where(s_tag == 0, s_pay, jnp.int32(-1)))
-    last_key = jax.lax.cummax(jnp.where(s_tag == 0, s_key, jnp.int32(-1)))
-    p = jnp.where(
-        jnp.logical_and(s_tag == 1, last_key == s_key), last_pos, jnp.int32(-1)
+    payload = jnp.concatenate(
+        [pos_t, jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0).squeeze(-1)]
     )
-    s2 = jax.lax.sort([s_tag, s_pay, p], num_keys=2)
-    return s2[2][T:]
+    s_key, s_pay = jax.lax.sort([key_cat, payload], num_keys=1)
+    s_tag = jax.lax.bitwise_and(s_key, jnp.uint32(1)).astype(jnp.int32)
+    # sorted by key => table keys are monotone; cummax is a valid fill
+    # (0 = "no table row yet": real table rows pack to even keys >= 2)
+    last_pos = jax.lax.cummax(jnp.where(s_tag == 0, s_pay, jnp.int32(-1)))
+    last_key = jax.lax.cummax(jnp.where(s_tag == 0, s_key, jnp.uint32(0)))
+    p = jnp.where(
+        jnp.logical_and(s_tag == 1, last_key == s_key - 1), last_pos, jnp.int32(-1)
+    )
+    # restore key: tag<<29 | row+1 (rows < 2**28; table pos payloads can
+    # be -1, hence the +1)
+    rkey = jax.lax.shift_left(s_tag, 29) | (s_pay + 1)
+    s2 = jax.lax.sort([rkey, p], num_keys=1)
+    return s2[1][T:]
 
 
 def _fetch_rows(
@@ -149,37 +163,44 @@ def _fetch_rows(
     table's own positions, forward-fill payloads with a last-valid scan,
     sort back. A candidate is valid iff the filled row is exactly the
     desired position AND its key equals the query's key (run boundaries:
-    position p-j may hold a smaller key)."""
+    position p-j may hold a smaller key). Sort operands are PACKED —
+    (pos, tag) into one sort key, the table key and the query's expected
+    key share one column (rows are disjoint by tag), (tag, row) into one
+    restore key — to keep the variadic-sort comparator narrow."""
     T = table_key.shape[0]
     Q = desired.shape[0]
+    # packed sort key: (pos+1)*2 + tag; desired -1 -> 1, before all table
+    # rows (key 2, 4, ...) so its fill check can never pass
     pos_cat = jnp.concatenate(
-        [jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).squeeze(-1), desired]
+        [(jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).squeeze(-1) + 1) * 2,
+         (desired + 1) * 2 + 1]
     )
-    tag = jnp.concatenate([jnp.zeros((T,), jnp.int32), jnp.ones((Q,), jnp.int32)])
     pay = jnp.concatenate(
         [jnp.full((T,), -1, jnp.int32),
          jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0).squeeze(-1)]
     )
+    # shared key column: the table row's own key / the query's expected key
+    key_cat = jnp.concatenate([table_key, qkey])
     z = jnp.zeros((Q,), jnp.int32)
-    key_cat = jnp.concatenate([table_key, z])
     con_cat = jnp.concatenate([contig_of, z])
     tp_cat = jnp.concatenate([pos_of, z])
-    qk_cat = jnp.concatenate([jnp.full((T,), -1, jnp.int32), qkey])
-    s = jax.lax.sort(
-        [pos_cat, tag, pay, qk_cat, key_cat, con_cat, tp_cat], num_keys=2
-    )
-    s_pos, s_tag, s_pay, s_qk, s_key, s_con, s_tp = s
+    s = jax.lax.sort([pos_cat, pay, key_cat, con_cat, tp_cat], num_keys=1)
+    s_pos, s_pay, s_key, s_con, s_tp = s
+    s_tag = jax.lax.bitwise_and(s_pos, 1)
     has, f_pos, f_key, f_con, f_tp = _last_valid_fill(
         s_tag == 0, s_pos, s_key, s_con, s_tp
     )
     ok = jnp.logical_and(
         jnp.logical_and(s_tag == 1, has),
-        jnp.logical_and(f_pos == s_pos, f_key == s_qk),
+        # filled table row sits at exactly the requested position (its
+        # packed key is ours minus the tag bit) and carries the right key
+        jnp.logical_and(f_pos == s_pos - 1, f_key == s_key),
     )
     out_con = jnp.where(ok, f_con, jnp.int32(-1))
     out_tp = jnp.where(ok, f_tp, jnp.int32(-1))
-    s2 = jax.lax.sort([s_tag, s_pay, out_con, out_tp], num_keys=2)
-    return s2[2][T:], s2[3][T:]
+    rkey = jax.lax.shift_left(s_tag, 29) | (s_pay + 1)
+    s2 = jax.lax.sort([rkey, out_con, out_tp], num_keys=1)
+    return s2[1][T:], s2[2][T:]
 
 
 @functools.partial(jax.jit, static_argnames=("min_votes", "step", "max_mult"))
