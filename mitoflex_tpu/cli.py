@@ -33,6 +33,7 @@ _SECTION_FLAGS = {
     # flag name -> (section, field)   (reference flag names, arguments.py)
     "deduplication": ("filter", "deduplication"),
     "ns-valve": ("filter", "ns_valve"),
+    "keep-region": ("filter", "keep_region"),
     "quality-valve": ("filter", "quality_valve"),
     "percentage-valve": ("filter", "percentage_valve"),
     "trimming": ("filter", "trimming"),
@@ -83,6 +84,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     for flag, (section, field) in _SECTION_FLAGS.items():
         if flag in _BOOL_FLAGS:
             p.add_argument(f"--{flag}", action="store_true", default=None)
+        elif flag == "ns-valve":
+            # the reference spells it --Ns-valve (arguments.py fastq group)
+            p.add_argument("--ns-valve", "--Ns-valve", dest="ns_valve",
+                           default=None)
         else:
             p.add_argument(f"--{flag}", default=None)
     p.add_argument("--config", default=None, help="python config file merged over flags")
@@ -113,7 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
         _add_common(p)
         return p
 
-    cmd("filter", "filter out unqualified reads from raw FASTQ", fq=True)
+    p = cmd("filter", "filter out unqualified reads from raw FASTQ", fq=True)
+    p.add_argument("--cleanq1", default=None,
+                   help="cleandata output file 1 (name or absolute path)")
+    p.add_argument("--cleanq2", default=None,
+                   help="cleandata output file 2 (name or absolute path)")
     cmd("assemble", "assemble clean reads into contigs", fq=True)
     p = cmd("findmitoscaf", "pick mitochondrial scaffolds from contigs", fq=True, fa=True)
     p.add_argument("--from-megahit", action="store_true", default=False,
@@ -140,6 +149,10 @@ def resolve_config(args: argparse.Namespace) -> PipelineConfig:
             val = bool(val)
         elif field in ("kmer_list", "depth_list"):
             val = [int(x) for x in str(val).split(",")]
+        elif field == "keep_region":
+            # reference format "beg,end" ("0,0" = full length)
+            beg, end = (int(x) for x in str(val).split(","))
+            val = (beg, end)
         elif isinstance(cur, bool):
             val = str(val).lower() in ("1", "true", "yes", "y")
         elif isinstance(cur, int) or (cur is None and field in ("genetic_code",)):
@@ -202,7 +215,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         logger.info(f"jax profiler tracing to {profile_dir}")
     try:
         if args.command == "filter":
-            res = run_filter(ctx, args.fastq1, args.fastq2)
+            res = run_filter(ctx, args.fastq1, args.fastq2,
+                             cleanq1=args.cleanq1, cleanq2=args.cleanq2)
             print(json.dumps({"clean1": res.clean1, "clean2": res.clean2,
                               "reads_kept": res.reads_kept}))
         elif args.command == "assemble":

@@ -87,12 +87,15 @@ class PipelineContext:
         return 5
 
 
-def run_filter(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None):
+def run_filter(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None,
+               cleanq1: Optional[str] = None, cleanq2: Optional[str] = None):
     from .stages.filter import filter_reads
 
     wd = ctx.workdir
-    clean1 = wd.stage_file("cleandata", "clean.1.fq")
-    clean2 = wd.stage_file("cleandata", "clean.2.fq") if fastq2 else None
+    # --cleanq1/--cleanq2 override the default names (MitoFlex.py:81-88;
+    # names resolve inside the cleandata dir, absolute paths win the join)
+    clean1 = wd.stage_file("cleandata", cleanq1 or "clean.1.fq")
+    clean2 = wd.stage_file("cleandata", cleanq2 or "clean.2.fq") if fastq2 else None
     res = filter_reads(ctx.cfg.filter, fastq1, clean1, fastq2, clean2, mesh=ctx.mesh)
     wd.write_manifest("cleandata", {
         "inputs": [fastq1] + ([fastq2] if fastq2 else []),

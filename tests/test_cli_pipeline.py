@@ -63,6 +63,18 @@ def test_cli_generate_config(tmp_path):
     assert "[21, 41]" in text
 
 
+def test_cli_filter_flag_parity(tmp_path):
+    """Reference spellings --Ns-valve / --keep-region / --cleanq1 are
+    accepted (arguments.py fastq+filter groups, MitoFlex.py:81-88)."""
+    r = _run_cli(["filter", "--fastq1", "x.fq", "--Ns-valve", "7",
+                  "--keep-region", "5,90", "--cleanq1", "mine.1.fq",
+                  "--generate-config", "conf.py"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    text = open(tmp_path / "conf.py").read()
+    assert "'ns_valve': 7" in text
+    assert "'keep_region': (5, 90)" in text
+
+
 def test_cli_rejects_bad_config(tmp_path):
     r = _run_cli(["all", "--fastq1", "x.fq", "--kmer-list", "20,40"], str(tmp_path))
     assert r.returncode == 2
