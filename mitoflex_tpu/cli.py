@@ -153,6 +153,10 @@ def resolve_config(args: argparse.Namespace) -> PipelineConfig:
             # reference format "beg,end" ("0,0" = full length)
             beg, end = (int(x) for x in str(val).split(","))
             val = (beg, end)
+        elif field == "log_level":
+            # reference --level takes names (arguments.py:109-113)
+            names = ["code", "debug", "info", "warn", "error"]
+            val = names.index(val) if str(val) in names else int(val)
         elif isinstance(cur, bool):
             val = str(val).lower() in ("1", "true", "yes", "y")
         elif isinstance(cur, int) or (cur is None and field in ("genetic_code",)):
