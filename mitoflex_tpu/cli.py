@@ -38,6 +38,10 @@ _SECTION_FLAGS = {
     "percentage-valve": ("filter", "percentage_valve"),
     "trimming": ("filter", "trimming"),
     "truncate-only": ("filter", "truncate_only"),
+    # the reference's --disable-filter runs the filter in truncate-only
+    # mode (MitoFlex.py:97,104: trunc=args.disable_filter)
+    "disable-filter": ("filter", "truncate_only"),
+    "insert-size-auto": ("bim", "insert_size_auto"),
     "kmer-list": ("assemble", "kmer_list"),
     "depth-list": ("assemble", "depth_list"),
     "prune-level": ("assemble", "prune_level"),
@@ -76,7 +80,8 @@ _SECTION_FLAGS = {
 _BOOL_FLAGS = {
     "deduplication", "truncate-only", "disable-local", "disable-scaffolding",
     "disable-taxa", "wider-taxa", "use-hmmer", "disable-annotation",
-    "disable-visualization", "keep-temp",
+    "disable-visualization", "keep-temp", "disable-filter",
+    "insert-size-auto",
 }
 
 
@@ -129,7 +134,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="contigs carry multi= depth tags already")
     p = cmd("annotate", "annotate genes on picked scaffolds", fa=True)
     p = cmd("visualize", "render the circular genome map", fa=True, fq=True)
-    p.add_argument("--locs", default=None, help="locs.json from annotate")
+    p.add_argument("--locs", "--pos-json", dest="locs", default=None,
+                   help="locs.json from annotate (reference --pos-json)")
+    p.add_argument("--circular", action="store_true", default=False,
+                   help="draw the genome as a closed circle (no break)")
     p = cmd("all", "the whole pipeline: filter->assemble->find->annotate->visualize", fq=True)
     p.add_argument("--resume", action="store_true", default=False,
                    help="skip stages whose outputs already exist in the work dir")
@@ -231,11 +239,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                                    from_megahit=args.from_megahit)
             print(json.dumps({"picked": out}))
         elif args.command == "annotate":
-            locs, locs_path = run_annotate(ctx, args.fastafile)
-            print(json.dumps({"locs": locs_path, "genes": len(locs)}))
+            locs, locs_path, circular = run_annotate(ctx, args.fastafile)
+            print(json.dumps({"locs": locs_path, "genes": len(locs),
+                              "circular": circular}))
         elif args.command == "visualize":
             locs = json.load(open(args.locs)) if args.locs else {}
-            outs = run_visualize(ctx, args.fastafile, locs, args.fastq1, args.fastq2)
+            outs = run_visualize(ctx, args.fastafile, locs, args.fastq1,
+                                 args.fastq2, circular=args.circular)
             print(json.dumps({"outputs": outs}))
         elif args.command == "all":
             summary = run_all(ctx, args.fastq1, args.fastq2, resume=args.resume)

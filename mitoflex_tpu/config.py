@@ -149,6 +149,7 @@ class BimConfig:
     max_iteration: int = 20
     iteration_ignore: int = 10
     scaffolding_spare: int = 2
+    insert_size_auto: bool = False   # estimate insert size from mapping data
 
 
 @dataclass

@@ -182,13 +182,15 @@ def run_annotate(ctx: PipelineContext, picked_path: str) -> Tuple[Dict, str]:
         "inputs": [picked_path],
         "outputs": [os.path.join(basedir, "locs.json")],
         "species": res.species,
+        "circular": res.circular,
     })
-    return res.locs, os.path.join(basedir, "locs.json")
+    return res.locs, os.path.join(basedir, "locs.json"), res.circular
 
 
 def run_visualize(
     ctx: PipelineContext, picked_path: str, locs: Dict,
     clean1: Optional[str] = None, clean2: Optional[str] = None,
+    circular: bool = False,
 ) -> List[str]:
     from .stages.visualize import visualize
 
@@ -196,7 +198,7 @@ def run_visualize(
     records = fasta.load_fasta(picked_path)
     prefix = os.path.join(wd.stage_dir("visualize"), ctx.cfg.run.workname)
     outs = visualize(ctx.cfg.visualize, records, locs, prefix,
-                     fastq1=clean1, fastq2=clean2)
+                     fastq1=clean1, fastq2=clean2, circular=circular)
     for o in outs:
         if o.endswith((".png", ".svg")):
             shutil.copy(o, wd.result_file(os.path.basename(o)))
@@ -234,10 +236,13 @@ def run_all(
     picked = c[0] if c else run_findmitoscaf(ctx, contigs)
     summary: Dict = {"picked": picked}
     if not ctx.cfg.annotate.disable_annotation:
-        locs, locs_path = run_annotate(ctx, picked)
+        locs, locs_path, circular = run_annotate(ctx, picked)
         summary["locs"] = locs_path
+        summary["circular"] = circular
         if not ctx.cfg.visualize.disable_visualization:
-            outs = run_visualize(ctx, picked, locs, clean1, clean2)
+            # circular genomes render as a closed ring (MitoFlex.py:291-296)
+            outs = run_visualize(ctx, picked, locs, clean1, clean2,
+                                 circular=circular)
             summary["plots"] = [o for o in outs if o.endswith(".png")]
     if not ctx.cfg.run.keep_temp:
         pass  # temp retained until post hook; caller decides
@@ -295,7 +300,9 @@ def run_bim(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None) -> 
         logger.info(f"bim: {n_out} baited read(-pair)s")
         if n_out == 0:
             break
-        if inserts:
+        if inserts and cfg.bim.insert_size_auto:
+            # reference gates the estimate behind --insert-size-auto
+            # (MitoFlex.py:354-355)
             est = int(np.median(np.concatenate(inserts)))
             logger.info(f"bim: estimated insert size {est}")
             cfg.assemble.insert_size = est

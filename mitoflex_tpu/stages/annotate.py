@@ -55,6 +55,7 @@ class AnnotateResult:
     rna_records: List[FastaRecord]
     missing_trnas: List[str]
     wise_frame: pd.DataFrame
+    circular: bool = False   # genome was circular and trimmed (annotation.py:220-221)
 
 
 def fix_circular(records: List[FastaRecord]) -> Tuple[List[FastaRecord], bool]:
@@ -224,7 +225,9 @@ def annotate(
     prefix: str = "mitoflex",
 ) -> AnnotateResult:
     table_id = gene_code or cfg.genetic_code or profiles.genetic_code(clade)
-    records, _ = fix_circular(records) if cfg.trim_circular else (records, False)
+    records, circular = fix_circular(records) if cfg.trim_circular else (records, False)
+    if circular:
+        logger.info("The final mitogenome is circular and trimmed.")
     genome = {r.id: r for r in records}
 
     db_records = (
@@ -376,4 +379,5 @@ def annotate(
         write_fasta(cds_records, os.path.join(basedir, f"{prefix}.annotated.cds.fa"))
         write_fasta(rna_records, os.path.join(basedir, f"{prefix}.annotated.rna.fa"))
 
-    return AnnotateResult(locs, species, cds_records, rna_records, missing_trna, wise_frame)
+    return AnnotateResult(locs, species, cds_records, rna_records,
+                          missing_trna, wise_frame, circular)

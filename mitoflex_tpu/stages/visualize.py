@@ -53,6 +53,7 @@ def visualize(
     fastq1: Optional[str] = None,
     fastq2: Optional[str] = None,
     max_depth_reads: int = 200_000,
+    circular: bool = False,
 ) -> List[str]:
     """Render the circular map; returns the list of files written."""
     import matplotlib
@@ -97,8 +98,13 @@ def visualize(
         )
         logger.info(f"visualize: depth from {n_mapped}/{n_total} mapped reads")
 
-    # angular layout: proportional arcs with small gaps
-    gap = 0.02 * 2 * math.pi if len(seqs) > 1 else 0.0
+    # angular layout: proportional arcs with small gaps; a single
+    # NON-circular genome keeps a visible break (the reference widens the
+    # circos ideogram spacing unless --circular, visualize.py:156)
+    if len(seqs) > 1:
+        gap = 0.02 * 2 * math.pi
+    else:
+        gap = 0.0 if circular else 0.05 * 2 * math.pi
     usable = 2 * math.pi - gap * len(seqs)
     starts: Dict[str, float] = {}
     scales: Dict[str, float] = {}
