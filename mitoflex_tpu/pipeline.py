@@ -93,9 +93,18 @@ def run_filter(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None,
 
     wd = ctx.workdir
     # --cleanq1/--cleanq2 override the default names (MitoFlex.py:81-88;
-    # names resolve inside the cleandata dir, absolute paths win the join)
-    clean1 = wd.stage_file("cleandata", cleanq1 or "clean.1.fq")
-    clean2 = wd.stage_file("cleandata", cleanq2 or "clean.2.fq") if fastq2 else None
+    # names resolve inside the cleandata dir, absolute paths win the join);
+    # gzipped output carries the .gz suffix (MitoFlex.py:280-282)
+    def gz(name: str) -> str:
+        if ctx.cfg.filter.compress_output and not name.endswith(".gz"):
+            return name + ".gz"
+        return name
+
+    clean1 = wd.stage_file("cleandata", gz(cleanq1 or "clean.1.fq"))
+    clean2 = (
+        wd.stage_file("cleandata", gz(cleanq2 or "clean.2.fq"))
+        if fastq2 else None
+    )
     res = filter_reads(ctx.cfg.filter, fastq1, clean1, fastq2, clean2, mesh=ctx.mesh)
     wd.write_manifest("cleandata", {
         "inputs": [fastq1] + ([fastq2] if fastq2 else []),
