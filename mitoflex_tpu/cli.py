@@ -159,12 +159,25 @@ def resolve_config(args: argparse.Namespace) -> PipelineConfig:
             val = [int(x) for x in str(val).split(",")]
         elif field == "keep_region":
             # reference format "beg,end" ("0,0" = full length)
-            beg, end = (int(x) for x in str(val).split(","))
+            try:
+                beg, end = (int(x) for x in str(val).split(","))
+            except ValueError:
+                print(f"config error: --keep-region expects 'beg,end', got {val!r}",
+                      file=sys.stderr)
+                raise SystemExit(2)
             val = (beg, end)
         elif field == "log_level":
             # reference --level takes names (arguments.py:109-113)
             names = ["code", "debug", "info", "warn", "error"]
-            val = names.index(val) if str(val) in names else int(val)
+            if str(val) in names:
+                val = names.index(val)
+            else:
+                try:
+                    val = int(val)
+                except ValueError:
+                    print(f"config error: --level must be one of {names} "
+                          f"or 0-4, got {val!r}", file=sys.stderr)
+                    raise SystemExit(2)
         elif isinstance(cur, bool):
             val = str(val).lower() in ("1", "true", "yes", "y")
         elif isinstance(cur, int) or (cur is None and field in ("genetic_code",)):

@@ -140,8 +140,11 @@ def _rank_join(table_key: jax.Array, q: jax.Array) -> jax.Array:
     )
     s_key, s_pay = jax.lax.sort([key_cat, payload], num_keys=1)
     s_tag = jax.lax.bitwise_and(s_key, jnp.uint32(1)).astype(jnp.int32)
-    # sorted by key => table keys are monotone; cummax is a valid fill
-    # (0 = "no table row yet": real table rows pack to even keys >= 2)
+    # sorted by key => table keys are monotone; cummax is a valid fill.
+    # NOTE: the key-0 table row (poly-A 15-mer) packs to 0, equal to the
+    # cummax seed — its queries still resolve because last_pos carries the
+    # row position independently, and a truly-absent key 0 leaves
+    # last_pos = -1; do not use last_key alone as a "row seen" test.
     last_pos = jax.lax.cummax(jnp.where(s_tag == 0, s_pay, jnp.int32(-1)))
     last_key = jax.lax.cummax(jnp.where(s_tag == 0, s_key, jnp.uint32(0)))
     p = jnp.where(

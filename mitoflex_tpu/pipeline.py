@@ -172,7 +172,7 @@ def run_findmitoscaf(
     return out
 
 
-def run_annotate(ctx: PipelineContext, picked_path: str) -> Tuple[Dict, str]:
+def run_annotate(ctx: PipelineContext, picked_path: str) -> Tuple[Dict, str, bool]:
     from .stages.annotate import annotate
 
     wd = ctx.workdir
@@ -295,6 +295,8 @@ def run_bim(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None) -> 
                     keep[: p1.count] = (m1.contig >= 0) | (m2.contig >= 0)
                     n_out += w1.write_batch(p1, keep)
                     w2.write_batch(p2, keep)
+                    if not cfg.bim.insert_size_auto:
+                        continue
                     both = (m1.contig >= 0) & (m2.contig >= 0) & (m1.contig == m2.contig)
                     if both.any():
                         ins = np.abs(m2.pos[both] - m1.pos[both]) + p1.lengths[: p1.count][both]
