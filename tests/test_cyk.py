@@ -250,6 +250,25 @@ def test_rrna_search_banded_refinement(rng):
 
 
 @pytest.mark.skipif(not os.path.exists(RRNA_DIR), reason="rRNA CMs unavailable")
+def test_rrna_search_truncated_at_contig_end(rng):
+    """Full driver on a 12s gene running off the contig's 3' end: the
+    local banded CYK keeps a strong calibrated hit covering the gene."""
+    from mitoflex_tpu.io.fasta import FastaRecord
+    from mitoflex_tpu.models import cmsearch
+    from tests import synth
+
+    m = load_cm_file(os.path.join(RRNA_DIR, "12s.cm"))[0]
+    cons = m.consensus().upper().replace("U", "T")
+    keep = int(len(cons) * 0.65)
+    contig = FastaRecord("edge", synth.random_genome(rng, 400) + cons[:keep], {})
+    h12, _ = cmsearch.rrna_search([contig], {"12s": m})
+    assert h12 is not None
+    assert h12.score > 250.0
+    assert h12.e_value < 1e-50
+    assert h12.seqfrom >= 395 and h12.seqto > 400 + keep - 60
+
+
+@pytest.mark.skipif(not os.path.exists(RRNA_DIR), reason="rRNA CMs unavailable")
 def test_cm_evalue_from_calibration():
     from mitoflex_tpu.models import cm as cm_models
 

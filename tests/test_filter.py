@@ -81,6 +81,36 @@ def test_filter_stage_se(tmp_path, rng):
     assert len(back) == 200
 
 
+def test_filter_stage_gzip_output(tmp_path, rng):
+    """compress_output writes valid gzip (configurations.py:45-48); the
+    CLI path also carries the .gz suffix (MitoFlex.py:280-282)."""
+    import gzip
+    import json
+    import os
+    import subprocess
+    import sys
+
+    genome = synth.random_genome(rng, 1500)
+    reads = synth.shotgun_reads(rng, genome, 80, read_len=100)
+    p = synth.write_fastq(tmp_path / "in.fq", reads)
+    conf = tmp_path / "c.py"
+    conf.write_text("config = {'filter': {'compress_output': True}}\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "mitoflex_tpu", "filter", "--fastq1", p,
+         "--workname", "gz", "--config", str(conf)],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    out = json.loads(next(
+        l for l in r.stdout.splitlines() if l.startswith("{")
+    ))
+    assert out["clean1"].endswith(".gz")
+    path = tmp_path / out["clean1"]
+    with gzip.open(path, "rt") as f:
+        assert sum(1 for _ in f) == 4 * out["reads_kept"]
+
+
 def test_filter_stage_pe_dedup(tmp_path, rng):
     genome = synth.random_genome(rng, 3000)
     pairs = synth.shotgun_reads(rng, genome, 80, read_len=90, insert=250)
