@@ -162,9 +162,11 @@ def run_findmitoscaf(
         max_contig_len=ctx.cfg.annotate.max_contig_length,
         basedir=wd.stage_dir("findmitoscaf"), prefix=ctx.cfg.run.workname,
     )
-    out = wd.stage_file("findmitoscaf", "picked.fa")
+    # reference naming: {workname}.picked.fa (findmitoscaf.py:348)
+    name = f"{ctx.cfg.run.workname}.picked.fa"
+    out = wd.stage_file("findmitoscaf", name)
     fasta.write_fasta(res.picked, out)
-    shutil.copy(out, wd.result_file("picked.fa"))
+    shutil.copy(out, wd.result_file(name))
     wd.write_manifest("findmitoscaf", {
         "inputs": [contigs_path], "outputs": [out],
         "found_pcgs": res.found_pcgs, "missing_pcgs": res.missing_pcgs,

@@ -98,7 +98,7 @@ def test_cli_all_end_to_end(dataset, tmp_path):
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-3000:]
     result_dir = tmp_path / "testrun" / "testrun.result"
-    picked = fasta.load_fasta(str(result_dir / "picked.fa"))
+    picked = fasta.load_fasta(str(result_dir / "testrun.picked.fa"))
     assert len(picked) >= 1
     best = max(picked, key=lambda p: len(p.seq))
     dbl = fake.genome + fake.genome
