@@ -19,7 +19,11 @@ expert knobs (configurations.py) so behavior matches out of the box.
 Reference knobs with no TPU analog (intentionally absent):
 - assemble.max_mem_percent / external_temp — megahit host-memory budgeting
   and tmpfs staging; the engine streams fixed-shape device chunks.
-- assemble.disable_acc / one-pass CPU-feature paths — no CPU kernels.
+- assemble.disable_acc — CPU-feature (POPCNT) selection; no CPU kernels.
+- assemble.one_pass — megahit's 1-pass SdBG build skips the separate
+  solid-(k+1)-mer counting stage (assemble_wrapper.py:216); this engine's
+  sort-based counting IS the graph build, so there is no second pass to
+  skip.
 - assemble.max_thread_scaf / show_from_soap — SOAP thread-safety caps; the
   scaffolder is deterministic device+host code.
 - universal --threads — accepted by the CLI for compatibility, ignored
@@ -73,7 +77,6 @@ class AssembleConfig:
     disable_scaffolding: bool = False
     min_multi: int = 3               # min k-mer multiplicity (configurations.py:61)
     no_mercy: bool = True            # disallow mercy edges (configurations.py:67)
-    one_pass: bool = False
     no_filter: bool = False          # disable inter-iteration depth filter
     filter_keep: int = 0             # keep at least N contigs when filtering
     min_length: int = 200            # contig length window (configurations.py:98-101)
