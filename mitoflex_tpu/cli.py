@@ -181,9 +181,24 @@ def resolve_config(args: argparse.Namespace) -> PipelineConfig:
         elif isinstance(cur, bool):
             val = str(val).lower() in ("1", "true", "yes", "y")
         elif isinstance(cur, int) or (cur is None and field in ("genetic_code",)):
-            val = int(val)
+            # coerce by declared runtime type; a fractional value for an
+            # int-typed knob (e.g. --trimming 0.5 Gbp) falls through to float
+            try:
+                val = int(val)
+            except ValueError:
+                try:
+                    val = float(val)
+                except ValueError:
+                    print(f"config error: --{flag} expects a number, got {val!r}",
+                          file=sys.stderr)
+                    raise SystemExit(2)
         elif isinstance(cur, float):
-            val = float(val)
+            try:
+                val = float(val)
+            except ValueError:
+                print(f"config error: --{flag} expects a number, got {val!r}",
+                      file=sys.stderr)
+                raise SystemExit(2)
         setattr(getattr(cfg, section), field, val)
     if getattr(args, "config", None):
         cfg = load_config_file(args.config, cfg)

@@ -54,7 +54,7 @@ class FilterConfig:
     quality_valve: int = 55          # phred+33 char code; bases with qual below are "bad"
     percentage_valve: float = 0.2    # discard read if bad/len >= this
     keep_region: Tuple[int, int] = (0, 0)  # (start, end) trim window, 0,0 = full
-    trimming: float = 5              # only keep first X Gbp of KEPT reads; 0 = all
+    trimming: float = 5.0            # only keep first X Gbp of KEPT reads; 0 = all
     truncate_only: bool = False      # bypass filtering, only truncate
     compress_output: bool = False    # gzip clean fastq (configurations.py:45-48)
 

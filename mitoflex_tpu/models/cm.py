@@ -271,12 +271,20 @@ def local_config(
         nd for nd in range(1, model.n_nodes)
         if model.nodes[nd].kind in begin_kinds and model.nodes[nd].state_ids
     ]
+    # node 1 (when it is a begin kind, as cmbuild always makes it) keeps the
+    # 1-pbegin mass; the pbegin remainder spreads over the OTHER candidates.
+    # If a degenerate guide tree has no begin-kind node 1, spread the full
+    # mass uniformly so begin probabilities still sum to 1.
+    node1_is_cand = bool(cands) and cands[0] == 1
+    others = len(cands) - 1 if node1_is_cand else len(cands)
     for nd in cands:
         first = model.nodes[nd].state_ids[0]
-        if nd == 1:
+        if node1_is_cand and nd == 1:
             begin_sc[first] = np.log2(1.0 - pbegin)
+        elif node1_is_cand:
+            begin_sc[first] = np.log2(pbegin / max(others, 1))
         else:
-            begin_sc[first] = np.log2(pbegin / max(len(cands) - 1, 1))
+            begin_sc[first] = np.log2(1.0 / max(others, 1))
 
     end_kinds = ("MATP", "MATL", "MATR", "BEGL", "BEGR")
     exits = [
@@ -316,4 +324,7 @@ def cm_evalue(model: "CovarianceModel", score_bits: float,
     lam, mu_ex, _mu_orig, dbsize, nhits, _tailp = st[:6]
     import math
     eff = nhits * max(search_residues, 1.0) / max(dbsize, 1.0)
-    return eff * math.exp(max(min(-lam * (score_bits - mu_ex), 700.0), -700.0))
+    # Infernal clamps the exponential-tail survival at 1.0 (esl_exp_surv
+    # returns 1.0 for sc < mu), so E never exceeds the search-space size
+    surv = min(1.0, math.exp(max(min(-lam * (score_bits - mu_ex), 700.0), -700.0)))
+    return eff * surv

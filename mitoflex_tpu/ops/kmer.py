@@ -224,7 +224,10 @@ def count_chunk_runs(
         from . import psort
 
         n0 = valid.shape[0]
-        n = 1 << max(n0 - 1, 1).bit_length()   # pad to a power of two
+        # pad to a power of two, and at least one full lane row (128): the
+        # pallas kernel reshapes to (N//128, 128), so tiny chunks must still
+        # land on a LANES multiple (sentinels sort last and are masked)
+        n = max(1 << max(n0 - 1, 1).bit_length(), 128)
         pad = n - n0
         if pad:
             words = [

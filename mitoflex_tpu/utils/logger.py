@@ -84,6 +84,9 @@ class RunLogger:
     def warn(self, msg: str) -> None:
         self.log(WARN, msg)
 
+    # stdlib-logging-style alias; callers habitually write logger.warning()
+    warning = warn
+
     def error(self, msg: str) -> None:
         self.log(ERROR, msg)
 

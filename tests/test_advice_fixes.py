@@ -1,0 +1,120 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md) and
+VERDICT.md weak #1 (logger.warning AttributeError)."""
+
+import functools
+import math
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mitoflex_tpu.utils.logger import RunLogger
+
+
+def test_logger_warning_alias(capsys):
+    """RunLogger exposes stdlib-style .warning (VERDICT weak #1: the
+    duplicate-filter-HMM path in models/cmsearch.py calls it)."""
+    lg = RunLogger()
+    lg.warning("heads up")
+    out = capsys.readouterr().out
+    assert "WARN" in out and "heads up" in out
+
+
+def test_duplicate_filter_hmm_name_warns(monkeypatch, capsys):
+    """Two CMs whose embedded p7 filters share a NAME must warn and keep
+    the first mapping, not crash (models/cmsearch.py:80-88)."""
+    from mitoflex_tpu.models import cmsearch, nhmmer
+
+    hmm = types.SimpleNamespace(name="dup")
+    m1 = types.SimpleNamespace(filter_hmm=hmm)
+    m2 = types.SimpleNamespace(filter_hmm=hmm)
+    monkeypatch.setattr(
+        nhmmer, "nhmmer_search",
+        lambda *a, **kw: pd.DataFrame(
+            columns=["query", "target", "score", "e", "alifrom", "alito",
+                     "strand", "hmmfrom", "hmmto"]),
+    )
+    out = cmsearch._filter_scan_multi({"a": m1, "b": m2}, [], 1e-3)
+    assert out == {"a": [], "b": []}
+    assert "duplicate filter-HMM name dup" in capsys.readouterr().out
+
+
+def test_cm_evalue_survival_clamped():
+    """E-values never exceed the effective search-space size: the
+    exponential-tail survival term clamps at 1.0 for scores below
+    mu_extrap (Infernal esl_exp_surv semantics)."""
+    from mitoflex_tpu.models.cm import cm_evalue
+
+    # (lambda, mu_extrap, mu_orig, dbsize, nhits, tailp)
+    model = types.SimpleNamespace(
+        stats={"ECMLC": (0.65, 5.0, 5.0, 1_000_000.0, 100.0, 0.01)})
+    eff = 100.0 * 2_000.0 / 1_000_000.0
+    e_low = cm_evalue(model, -50.0, 2_000.0)   # far below mu: surv == 1
+    assert e_low == pytest.approx(eff)
+    e_hi = cm_evalue(model, 30.0, 2_000.0)
+    assert e_hi == pytest.approx(eff * math.exp(-0.65 * 25.0))
+    assert e_hi < e_low
+
+
+def test_local_config_begin_mass_sums_to_one():
+    """local_config begin scores form a probability distribution even for
+    degenerate guide trees (ADVICE: node 1 not a begin candidate)."""
+    from mitoflex_tpu.models import cm as cm_models
+
+    model = cm_models.load_cm_file(
+        "/root/reference/profile/tRNA_CM/Metazoa_K.cm")[0]
+    lc = cm_models.local_config(model)
+    mass = float(np.sum(np.exp2(lc.begin_sc[np.isfinite(lc.begin_sc)])))
+    assert mass == pytest.approx(1.0, rel=1e-6)
+
+
+def test_cli_fractional_trimming(tmp_path):
+    """--trimming 0.5 (fractional Gbp, reference arguments.py:215) parses
+    instead of crashing on int('0.5') (ADVICE #1)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "mitoflex_tpu", "filter", "--fastq1", "x.fq",
+         "--trimming", "0.5", "--generate-config", "conf.py"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "'trimming': 0.5" in open(tmp_path / "conf.py").read()
+    # garbage still exits through the config-error path, not a traceback
+    r2 = subprocess.run(
+        [sys.executable, "-m", "mitoflex_tpu", "filter", "--fastq1", "x.fq",
+         "--trimming", "lots"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=300,
+    )
+    assert r2.returncode == 2
+    assert "config error" in r2.stderr
+    assert "Traceback" not in r2.stderr
+
+
+def test_pallas_sort_tiny_chunk(monkeypatch, rng):
+    """A chunk with fewer than 128 candidate k-mers still sorts through the
+    MITOFLEX_PALLAS_SORT path (pad to >= one full lane row; ADVICE #3)."""
+    from mitoflex_tpu.ops import kmer as K
+    from mitoflex_tpu.ops import psort
+
+    k = 31
+    seqs = rng.integers(0, 4, (2, 40)).astype(np.int8)
+    lengths = np.full(2, 40, np.int32)
+    base_keys, base_counts = K.count_chunk_host(seqs, lengths, k, canonical=True)
+
+    monkeypatch.setenv("MITOFLEX_PALLAS_SORT", "1")
+    monkeypatch.setattr(
+        psort, "bitonic_sort2",
+        functools.partial(psort.bitonic_sort2.__wrapped__, interpret=True),
+    )
+    K.count_chunk_runs.clear_cache()
+    try:
+        keys, counts = K.count_chunk_host(seqs, lengths, k, canonical=True)
+    finally:
+        K.count_chunk_runs.clear_cache()
+    np.testing.assert_array_equal(keys, base_keys)
+    np.testing.assert_array_equal(counts, base_counts)
