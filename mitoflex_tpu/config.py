@@ -82,6 +82,14 @@ class AssembleConfig:
     min_length: int = 200            # contig length window (configurations.py:98-101)
     max_length: int = 20000
 
+    # graph-cleaning schedule — the reference fixes these when invoking
+    # megahit_core assemble (assemble_wrapper.py:269-286)
+    bubble_level: int = 2            # 0 off, 1 simple, 2 complex-by-iteration
+    merge_len: int = 20              # complex-bubble branch bound, x k bases
+    merge_similar: float = 0.95      # min branch similarity to pop
+    disconnect_ratio: float = 0.1    # weak-link cut vs strongest sibling
+    low_local_ratio: float = 0.2     # local low-depth unitig removal
+
     # TPU engine knobs
     kmer_chunk: int = 1 << 22        # k-mers per device sort chunk
     max_contigs: int = 1 << 16       # static bound on contig table size

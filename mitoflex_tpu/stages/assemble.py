@@ -34,6 +34,7 @@ from ..io import encoding, fasta, fastq
 from ..io.prefetch import prefetch
 from ..ops import dbg as dbg_ops
 from ..ops import kmer as kmer_ops
+from . import graph_clean
 from ..utils.helper import timed
 from ..utils.logger import logger
 
@@ -339,24 +340,25 @@ def assemble_k(
     keys: np.ndarray,
     counts: np.ndarray,
     k: int,
-    prune_depth: float,
-    prune_level: int,
+    clean: "graph_clean.CleanParams",
     min_standalone: int = 200,
     max_clean_rounds: int = 8,
-) -> List[Contig]:
+) -> Tuple[List[Contig], List[Contig]]:
     """One k iteration: graph → unitigs → clean fixpoint → contigs.
 
-    Cleaning reproduces megahit `assemble`'s spirit (tips + low-depth
-    unitigs; prune_level scales aggressiveness, wrapper:264-292):
-      - tip: unitig whose chain is a dead end on either side and shorter
-        than 2k bases;
-      - low depth: mean link multiplicity < prune_depth (for unitigs with
-        internal links).
-    Each round removes offending unitigs' nodes and re-runs the device
-    pass until fixpoint.
+    Cleaning reproduces megahit `assemble`'s schedule as the reference
+    drives it (assemble_wrapper.py:269-286): tips, global/local low-depth
+    unitigs, weak-link disconnection, and bubble popping — all analyzed in
+    stages/graph_clean.py over each device pass's node/edge arrays; each
+    round removes offending nodes/edges and re-runs the pass until
+    fixpoint. Multi-unitig ("complex") bubbles pop over successive rounds
+    as inner bubbles collapse and chains re-merge.
+
+    Returns (contigs, popped_bubbles); the latter is non-empty only in
+    careful_bubble mode and is re-injected at the next k like megahit
+    `iterate -b` (wrapper:307-315).
     """
-    tip_len = 2 * k
-    drop_ratio = {0: 0.0, 1: 0.3, 2: 0.5, 3: 0.7}[prune_level]
+    bubbles: List[Contig] = []
     for _ in range(max_clean_rounds):
         gp = _run_graph_pass(keys, counts, k)
         n = int(gp.n_nodes)
@@ -365,30 +367,17 @@ def assemble_k(
         unitigs = dbg_ops.unitigs_from_pass(gp, k)
         in_deg = np.asarray(gp.in_deg)[:n]
         out_deg = np.asarray(gp.out_deg)[:n]
-        bad_nodes = np.zeros(n, dtype=bool)
-        any_bad = False
-        med_depth = float(np.median([u.depth for u in unitigs if u.depth > 0] or [0]))
-        for u in unitigs:
-            if u.circular:
-                continue
-            start, end = u.node_ids[0], u.node_ids[-1]
-            dead_start = in_deg[start] == 0
-            dead_end = out_deg[end] == 0
-            is_tip = (dead_start or dead_end) and not (dead_start and dead_end) \
-                and len(u.seq) < tip_len
-            low = (u.depth > 0 and u.depth < prune_depth) or (
-                drop_ratio > 0 and 0 < u.depth < drop_ratio * med_depth
-                and len(u.seq) < tip_len
-            )
-            if is_tip or low:
-                bad_nodes[u.node_ids] = True
-                any_bad = True
-        if not any_bad:
+        pre = np.asarray(gp.prefix_id)[: len(keys)].astype(np.int64)
+        suf = np.asarray(gp.suffix_id)[: len(keys)].astype(np.int64)
+        res = graph_clean.analyze_round(
+            unitigs, in_deg, out_deg, pre, suf, counts, k, clean
+        )
+        bubbles.extend(Contig(b.seq, b.depth, False) for b in res.bubbles)
+        if not res.any:
             break
-        # drop edges touching bad nodes, re-run
-        pre = np.asarray(gp.prefix_id)[: len(keys)]
-        suf = np.asarray(gp.suffix_id)[: len(keys)]
-        keep = ~(bad_nodes[np.clip(pre, 0, n - 1)] | bad_nodes[np.clip(suf, 0, n - 1)])
+        keep = ~(res.bad_nodes[np.clip(pre, 0, n - 1)]
+                 | res.bad_nodes[np.clip(suf, 0, n - 1)])
+        keep &= ~res.bad_edges
         keep &= np.asarray(gp.edge_valid)[: len(keys)]
         if keep.all():
             break
@@ -402,7 +391,69 @@ def assemble_k(
         if len(u.seq) < min(min_standalone, 2 * k):
             continue
         contigs.append(Contig(u.seq, u.depth, u.circular))
-    return contigs
+    # popped branches arrive once per strand (the RC twin bubble pops the
+    # mirrored loser) — keep one representative each
+    seen: dict = {}
+    bubbles = [
+        b for b in bubbles
+        if seen.setdefault(graph_clean._canonical(b.seq), b) is b
+    ]
+    return contigs, bubbles
+
+
+def _extend_right(
+    contigs: List[Contig],
+    read_source,
+    min_support: int,
+    consensus_frac: float,
+    max_ext: int,
+) -> Tuple[List[Contig], bool]:
+    """One right-end extension pass: reads whose alignment overhangs a
+    contig's 3' end vote on the bases beyond it; the end grows while a
+    clear consensus with enough support exists."""
+    from ..io.fasta import FastaRecord
+    from ..ops import mapper as mapper_ops
+
+    recs = [FastaRecord(f"le{j}", c.seq) for j, c in enumerate(contigs)]
+    index = mapper_ops.ContigIndex.build(recs)
+    votes = [np.zeros((max_ext, 4), np.int32) for _ in contigs]
+    for seqs, lengths in read_source():
+        m = mapper_ops.map_batch(index, seqs, lengths, min_votes=2)
+        sel = np.nonzero(m.contig >= 0)[0]
+        for b in sel:
+            ci = int(m.contig[b])
+            clen = len(contigs[ci].seq)
+            Lr = int(lengths[b])
+            if Lr == 0:
+                continue
+            row = seqs[b, :Lr] if m.strand[b] == 1 else np.asarray(
+                encoding.revcomp(seqs[b, :Lr])
+            )
+            start = int(m.pos[b])
+            right_over = start + Lr - clen
+            if 0 < right_over <= max_ext + Lr:
+                over = row[Lr - right_over :][:max_ext]
+                ok = over < 4
+                np.add.at(votes[ci], (np.nonzero(ok)[0], over[ok]), 1)
+    changed = False
+    out = []
+    for ci, c in enumerate(contigs):
+        v = votes[ci]
+        total = v.sum(axis=1)
+        best = v.max(axis=1)
+        ext_len = 0
+        for off in range(max_ext):
+            if total[off] >= min_support and best[off] >= consensus_frac * total[off]:
+                ext_len = off + 1
+            else:
+                break
+        if ext_len:
+            ext = "".join("ACGT"[int(v[o].argmax())] for o in range(ext_len))
+            out.append(Contig(c.seq + ext, c.depth, c.circular))
+            changed = True
+        else:
+            out.append(c)
+    return out, changed
 
 
 def local_extend(
@@ -416,59 +467,23 @@ def local_extend(
     """Local assembly of contig ends (megahit `local` analog,
     assemble_wrapper.py:298-304): reads mapping near a dead end vote on
     the bases beyond it; ends are extended while a clear consensus with
-    enough support exists. Recovers sequence dropped at chunk/depth
-    boundaries and helps neighboring contigs reach overlap length."""
-    from ..io.fasta import FastaRecord
-    from ..ops import mapper as mapper_ops
+    enough support exists. BOTH ends grow: the 5' end is extended by
+    running the same right-end pass on the reverse-complemented contigs
+    (megahit local extends both gap flanks). Recovers sequence dropped at
+    chunk/depth boundaries and helps neighboring contigs reach overlap
+    length."""
+    from ..io import encoding as enc
 
     for _ in range(max_rounds):
-        recs = [FastaRecord(f"le{j}", c.seq) for j, c in enumerate(contigs)]
-        index = mapper_ops.ContigIndex.build(recs)
-        # votes[contig][end][offset][base]
-        votes = [
-            np.zeros((2, max_ext_per_round, 4), np.int32) for _ in contigs
-        ]
-        for seqs, lengths in read_source():
-            m = mapper_ops.map_batch(index, seqs, lengths, min_votes=2)
-            sel = np.nonzero(m.contig >= 0)[0]
-            for b in sel:
-                ci = int(m.contig[b])
-                clen = len(contigs[ci].seq)
-                Lr = int(lengths[b])
-                if Lr == 0:
-                    continue
-                row = seqs[b, :Lr] if m.strand[b] == 1 else np.asarray(
-                    encoding.revcomp(seqs[b, :Lr])
-                )
-                start = int(m.pos[b])
-                right_over = start + Lr - clen
-                if 0 < right_over <= max_ext_per_round + Lr:
-                    over = row[Lr - right_over :][:max_ext_per_round]
-                    ok = over < 4
-                    np.add.at(votes[ci][1], (np.nonzero(ok)[0], over[ok]), 1)
-                # left overhang only when mapper clamped pos to 0 is not
-                # detectable; approximate via seeds suggesting pos 0 and a
-                # prefix that does not match -> skipped (cheap version)
-        changed = False
-        new_contigs = []
-        for ci, c in enumerate(contigs):
-            v = votes[ci][1]
-            total = v.sum(axis=1)
-            best = v.max(axis=1)
-            ext_len = 0
-            for off in range(max_ext_per_round):
-                if total[off] >= min_support and best[off] >= consensus_frac * total[off]:
-                    ext_len = off + 1
-                else:
-                    break
-            if ext_len:
-                ext = "".join("ACGT"[int(v[o].argmax())] for o in range(ext_len))
-                new_contigs.append(Contig(c.seq + ext, c.depth, c.circular))
-                changed = True
-            else:
-                new_contigs.append(c)
-        contigs = new_contigs
-        if not changed:
+        contigs, ch_r = _extend_right(
+            contigs, read_source, min_support, consensus_frac, max_ext_per_round
+        )
+        rc = [Contig(enc.revcomp_str(c.seq), c.depth, c.circular) for c in contigs]
+        rc, ch_l = _extend_right(
+            rc, read_source, min_support, consensus_frac, max_ext_per_round
+        )
+        contigs = [Contig(enc.revcomp_str(c.seq), c.depth, c.circular) for c in rc]
+        if not (ch_r or ch_l):
             break
     return contigs
 
@@ -526,6 +541,7 @@ def assemble(
     logger.info(f"assemble: k-list {klist} (max read len {max_len})")
 
     contigs: List[Contig] = []
+    bubbles: List[Contig] = []
     last_good: List[Contig] = []
     for i, k in enumerate(klist):
         source = read_source
@@ -553,14 +569,24 @@ def assemble(
             mercy_active = (not cfg.no_mercy) and i == 0
             keys, counts = count_edges(
                 source, k, 1 if mercy_active else cfg.min_multi,
-                extra_contigs=contigs,
+                extra_contigs=contigs + bubbles,
             )
             if mercy_active:
                 keys, counts = add_mercy_edges(source, keys, counts, cfg.min_multi, k)
             logger.info(f"assemble: k={k}: {len(keys)} solid (k+1)-mers")
-            contigs = assemble_k(
-                keys, counts, k, cfg.prune_depth, cfg.prune_level,
-                min_standalone=cfg.min_length,
+            clean = graph_clean.CleanParams(
+                prune_depth=cfg.prune_depth,
+                prune_level=cfg.prune_level,
+                bubble_level=cfg.bubble_level,
+                merge_len=cfg.merge_len,
+                merge_similar=cfg.merge_similar,
+                disconnect_ratio=cfg.disconnect_ratio,
+                low_local_ratio=cfg.low_local_ratio,
+                # reference: careful_bubble = kmer < kmax (wrapper:285)
+                careful_bubble=i < len(klist) - 1,
+            )
+            contigs, bubbles = assemble_k(
+                keys, counts, k, clean, min_standalone=cfg.min_length,
             )
             if not cfg.disable_local and any(not c.circular for c in contigs):
                 linear = [c for c in contigs if not c.circular]
@@ -573,17 +599,31 @@ def assemble(
         logger.info(
             f"assemble: k={k}: {len(contigs)} contigs "
             f"(max {max((len(c.seq) for c in contigs), default=0)} bp)"
+            + (f", {len(bubbles)} popped bubbles carried" if bubbles else "")
         )
         last_good = contigs
-        if not cfg.no_filter and i < len(klist) - 1:
+        # inter-iteration depth gate: min_length applies only at the FINAL k
+        # (reference assemble.py:97-99 passes min_length=0 unless n == -1);
+        # the final k IS gated too (force_filter=True there)
+        final_k = i == len(klist) - 1
+        if not cfg.no_filter or final_k:
             contigs = filter_contigs(
-                contigs, dlist[i], cfg.min_length, cfg.max_length, cfg.filter_keep
+                contigs, dlist[i] if i < len(dlist) else 0,
+                cfg.min_length if final_k else 0, cfg.max_length,
+                cfg.filter_keep,
             )
-            logger.info(f"assemble: k={k}: {len(contigs)} contigs after depth>={dlist[i]} gate")
+            # bubbles ride the same gate, without the keep fallback
+            # (wrapper filter() runs fastfilter on .bubble_seq.fa too)
+            bubbles = filter_contigs(
+                bubbles, dlist[i] if i < len(dlist) else 0, 0, cfg.max_length
+            )
+            logger.info(f"assemble: k={k}: {len(contigs)} contigs after depth>={dlist[i] if i < len(dlist) else 0} gate")
             if not contigs:
                 logger.warn("assemble: depth gate removed everything; stopping")
                 contigs = []
                 break
+            if final_k:
+                last_good = contigs
 
     final = filter_contigs(last_good, 0, cfg.min_length, cfg.max_length)
     final_k = klist[min(i, len(klist) - 1)] if klist else 0

@@ -37,3 +37,27 @@ def test_local_extend_no_support_no_change(rng):
 
     out = asm.local_extend([contig], source)
     assert out[0].seq == g
+
+def test_local_extend_recovers_truncated_left_end(rng):
+    """VERDICT #7: megahit local extends BOTH gap flanks
+    (assemble_wrapper.py:298-304); the 5' end grows too."""
+    g = synth.random_genome(rng, 1500)
+    # contig missing its first 30 bp
+    contig = asm.Contig(g[30:], 30.0, False)
+    reads = [g[i : i + 100] for i in range(0, 81, 2)]  # cover the start
+
+    def source():
+        seqs = np.full((len(reads), 128), 4, np.int8)
+        lens = np.zeros(len(reads), np.int32)
+        for i, r in enumerate(reads):
+            seqs[i, : len(r)] = encoding.encode(r)
+            lens[i] = len(r)
+        yield seqs, lens
+
+    out = asm.local_extend([contig], source)
+    assert len(out) == 1
+    ext = out[0].seq
+    assert len(ext) > 1470
+    # extension matches the true genome prefix
+    assert ext in g
+    assert g.index(ext) <= 10
