@@ -24,7 +24,6 @@ Replaces the reference's BLAST+ subprocesses and their result algebra
 from __future__ import annotations
 
 import math
-from collections import defaultdict
 from typing import Dict, List, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -89,25 +88,98 @@ def _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend, fill, batch=64):
     return [np.concatenate([r[i] for r in res]) for i in range(9)]
 
 
+def _pack_windows(codes: np.ndarray, k: int, bits: int) -> np.ndarray:
+    """All k-length windows of a code array packed into int64 keys
+    (bits per symbol; k * bits must fit 63). Vectorized: k shift-or
+    passes, no per-position Python."""
+    c = np.asarray(codes, np.int64)
+    n = len(c) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.int64)
+    v = np.zeros(n, np.int64)
+    for j in range(k):
+        v = (v << bits) | c[j : j + n]
+    return v
+
+
 class SeedIndex:
-    """Exact k-mer inverted index over query sequences (host side)."""
+    """Exact k-mer seed join over query sequences (host side, vectorized).
+
+    Replaces the reference's per-worker BLAST seeding (the Pool in
+    annotation_tookit.py:74-97) — and round 1's per-position Python dict —
+    with packed-integer k-mer keys and a sorted join: build = one argsort
+    over all query windows; lookup = one searchsorted + run expansion per
+    target. O((|Q|+|T|) log |Q|) numpy, zero Python per position."""
 
     def __init__(self, seqs: Sequence[np.ndarray], k: int, alphabet: int):
         self.k = k
-        self.index: Dict[bytes, List[Tuple[int, int]]] = defaultdict(list)
+        self.bits = max((alphabet - 1).bit_length(), 1)
+        assert k * self.bits < 63, "seed too wide for int64 packing"
+        vals, qis, qps = [], [], []
         for qi, s in enumerate(seqs):
-            b = np.asarray(s, dtype=np.int8).tobytes()
-            for p in range(0, len(b) - k + 1):
-                self.index[b[p : p + k]].append((qi, p))
+            v = _pack_windows(s, k, self.bits)
+            if len(v):
+                vals.append(v)
+                qis.append(np.full(len(v), qi, np.int32))
+                qps.append(np.arange(len(v), dtype=np.int32))
+        if vals:
+            av = np.concatenate(vals)
+            order = np.argsort(av, kind="stable")
+            self.vals = av[order]
+            self.qi = np.concatenate(qis)[order]
+            self.qp = np.concatenate(qps)[order]
+        else:
+            self.vals = np.zeros(0, np.int64)
+            self.qi = np.zeros(0, np.int32)
+            self.qp = np.zeros(0, np.int32)
+
+    def hits_arrays(
+        self, target: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All exact seed matches as arrays (query_idx, query_pos,
+        target_pos), via a two-sided searchsorted join."""
+        tv = _pack_windows(target, self.k, self.bits)
+        if not len(tv) or not len(self.vals):
+            z = np.zeros(0, np.int32)
+            return z, z, z
+        lo = np.searchsorted(self.vals, tv, side="left")
+        hi = np.searchsorted(self.vals, tv, side="right")
+        runs = hi - lo
+        total = int(runs.sum())
+        if total == 0:
+            z = np.zeros(0, np.int32)
+            return z, z, z
+        # expand each target window's run of matching DB rows
+        tp = np.repeat(np.arange(len(tv), dtype=np.int32), runs)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(runs) - runs, runs
+        )
+        rows = np.repeat(lo, runs) + within
+        return self.qi[rows], self.qp[rows], tp
 
     def hits(self, target: np.ndarray):
-        """yield (query_idx, query_pos, target_pos)."""
-        b = np.asarray(target, dtype=np.int8).tobytes()
-        k = self.k
-        idx = self.index
-        for p in range(0, len(b) - k + 1):
-            for qi, qp in idx.get(b[p : p + k], ()):
-                yield qi, qp, p
+        """yield (query_idx, query_pos, target_pos) — compat shim."""
+        qi, qp, tp = self.hits_arrays(target)
+        yield from zip(qi.tolist(), qp.tolist(), tp.tolist())
+
+
+def _group_anchor_windows(
+    qi: np.ndarray, qp: np.ndarray, tp: np.ndarray, min_seeds: int
+) -> List[Tuple[int, int, int]]:
+    """Group seed matches by query; return (query_idx, min_diag, max_diag)
+    for queries with >= min_seeds anchors. Vectorized reduceat."""
+    if not len(qi):
+        return []
+    diag = tp.astype(np.int64) - qp.astype(np.int64)
+    order = np.argsort(qi, kind="stable")
+    q_s, d_s = qi[order], diag[order]
+    starts = np.flatnonzero(np.concatenate([[True], q_s[1:] != q_s[:-1]]))
+    counts = np.diff(np.append(starts, len(q_s)))
+    mins = np.minimum.reduceat(d_s, starts)
+    maxs = np.maximum.reduceat(d_s, starts)
+    keep = counts >= min_seeds
+    return list(zip(q_s[starts[keep]].tolist(),
+                    mins[keep].tolist(), maxs[keep].tolist()))
 
 
 def tblastn(
@@ -131,16 +203,12 @@ def tblastn(
         for frame, aa in codon.six_frame_translate(codes, table_id):
             if len(aa) < seed_len:
                 continue
-            # collect seed target positions per query
-            per_q: Dict[int, List[int]] = defaultdict(list)
-            for qi, qp, tp in seed_idx.hits(aa):
-                per_q[qi].append(tp - qp)  # diagonal anchor
-            for qi, anchors in per_q.items():
-                if len(anchors) < min_seeds:
-                    continue
+            # seed join + per-query diagonal windows, all vectorized
+            aq, ap, at = seed_idx.hits_arrays(np.asarray(aa))
+            for qi, dmin, dmax in _group_anchor_windows(aq, ap, at, min_seeds):
                 qlen = db[qi].length
-                lo = max(min(anchors) - window_slack, 0)
-                hi = min(max(anchors) + qlen + window_slack, len(aa))
+                lo = max(dmin - window_slack, 0)
+                hi = min(dmax + qlen + window_slack, len(aa))
                 q_rows.append(db[qi].aa_codes)
                 t_rows.append(np.asarray(aa[lo:hi]))
                 meta.append((qi, ci, frame, lo))
@@ -201,17 +269,13 @@ def blastn(
     q_rows, t_rows, meta = [], [], []
     for si, subj in enumerate(subjects):
         for strand, codes in ((1, subj.codes), (-1, np.asarray(encoding.revcomp(subj.codes)))):
-            per_q: Dict[int, List[int]] = defaultdict(list)
-            for qi, qp, tp in seed_idx.hits(codes):
+            aq, ap, at = seed_idx.hits_arrays(codes)
+            for qi, dmin, dmax in _group_anchor_windows(aq, ap, at, min_seeds):
                 if skip_self and queries[qi].id == subj.id and strand == 1:
                     continue
-                per_q[qi].append(tp - qp)
-            for qi, anchors in per_q.items():
-                if len(anchors) < min_seeds:
-                    continue
                 qlen = len(q_codes[qi])
-                lo = max(min(anchors) - window_slack, 0)
-                hi = min(max(anchors) + qlen + window_slack, len(codes))
+                lo = max(dmin - window_slack, 0)
+                hi = min(dmax + qlen + window_slack, len(codes))
                 q_rows.append(q_codes[qi])
                 t_rows.append(codes[lo:hi])
                 meta.append((qi, si, strand, lo))
