@@ -143,9 +143,17 @@ def run_findmitoscaf(
 
     wd = ctx.workdir
     records = fasta.load_fasta(contigs_path)
+    if not from_megahit and not clean1 and clean2:
+        clean1, clean2 = clean2, clean1  # reference swaps (MitoFlex.py:155-157)
+    if not from_megahit and not clean1:
+        raise RuntimeError("At least one fastq file should be specified!")
     if not from_megahit and clean1:
-        # standalone entry: contigs lack depth tags; remap reads for multi
-        # (reference findmitoscaf remap_sequence path, MitoFlex.py:144-160)
+        # standalone entry: contigs lack depth tags; apply fastfilter's
+        # min/max-length gate BEFORE remapping (the reference shells to
+        # `fastfilter -l min,max -d 0` first, MitoFlex.py:146-152), then
+        # remap reads for multi (remap_sequence path, MitoFlex.py:153-160)
+        lo, hi = ctx.cfg.assemble.min_length, ctx.cfg.assemble.max_length
+        records = [r for r in records if lo <= len(r.seq) <= hi]
         def batches():
             for b in fastq.read_batches(clean1, 8192, ctx.cfg.filter.max_read_len):
                 yield b

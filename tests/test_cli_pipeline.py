@@ -143,3 +143,46 @@ def test_scaffold_joins_contigs(tmp_path, rng):
     assert (c1 in fwd and c2 in fwd) or (
         encoding.revcomp_str(c1) in rc or c1 in rc
     )
+
+
+def test_findmitoscaf_standalone_length_gate(tmp_path, rng, monkeypatch):
+    """Standalone findmitoscaf entry gates contigs by min/max length BEFORE
+    the remap (reference fastfilter -l min,max -d 0, MitoFlex.py:146-152),
+    swaps fq2 into fq1 when only fq2 is given, and refuses to run with no
+    reads at all (MitoFlex.py:153-157)."""
+    from mitoflex_tpu import pipeline
+    from mitoflex_tpu.config import PipelineConfig
+    from mitoflex_tpu.stages import findmitoscaf as fms
+    from mitoflex_tpu.utils.workdir import WorkDir
+
+    g = synth.random_genome(rng, 3000)
+    records = [
+        fasta.FastaRecord("mito", g),
+        fasta.FastaRecord("short", g[:150]),          # < min_length (200)
+        fasta.FastaRecord("long", synth.random_genome(rng, 25000)),  # > max
+    ]
+    contigs = str(tmp_path / "raw.fa")
+    fasta.write_fasta(records, contigs)
+    reads = synth.shotgun_reads(rng, g, 300, read_len=100, insert=300)
+    fq = synth.write_fastq(tmp_path / "reads.fq", [p[0] for p in reads])
+
+    seen = {}
+
+    def fake_stage(cfg, recs, *a, **kw):
+        seen["records"] = recs
+        return fms.FindMitoResult(
+            picked=list(recs), hmm_frame=None, selected_candidates={},
+            found_pcgs=[], missing_pcgs=[])
+
+    monkeypatch.setattr(fms, "findmitoscaf", fake_stage)
+    cfg = PipelineConfig()
+    ctx = pipeline.PipelineContext(cfg, WorkDir(str(tmp_path), "t").create())
+
+    # only fastq2 given -> swapped into the remap slot like the reference
+    pipeline.run_findmitoscaf(ctx, contigs, None, fq, from_megahit=False)
+    ids = [r.id for r in seen["records"]]
+    assert ids == ["mito"], ids
+    assert seen["records"][0].multi > 0  # remap tagged a real depth
+
+    with pytest.raises(RuntimeError, match="At least one fastq"):
+        pipeline.run_findmitoscaf(ctx, contigs, None, None, from_megahit=False)

@@ -96,6 +96,29 @@ def test_visualize_renders(tmp_path, rng):
     assert len(tracks["genes"]) == 4
     assert tracks["depth_mean"]["mt1"] > 1.5
 
+    # the circos track FILES the reference writes (visualize.py:72-168)
+    # all exist and the conf references them, so `circos` can re-render
+    conf_text = open(tmp_path / "plot.circos.conf").read()
+    for name in ("gene.txt", "features.txt", "gc.txt", "depth.txt",
+                 "karyotype.txt", "plus.txt"):
+        p = tmp_path / f"plot.{name}"
+        assert p.exists(), name
+        assert str(p) in conf_text or name in conf_text, name
+    assert "<<include etc/housekeeping.conf>>" in conf_text
+    assert conf_text.count("<plot>") == 4
+    assert "<highlight>" in conf_text and "<rules>" in conf_text
+    # gene track rows: contig start end basename, tab separated
+    gene_rows = [l.split("\t") for l in
+                 open(tmp_path / "plot.gene.txt").read().splitlines()]
+    assert ["mt1", "100", "500", "COX1"] in gene_rows
+    # feature track: 3 rows per gene, body row carries the type color
+    feat_lines = open(tmp_path / "plot.features.txt").read().splitlines()
+    assert len(feat_lines) == 3 * 4
+    assert any("r1=1.035r" in l for l in feat_lines)  # minus-strand band
+    # depth file is per-base samtools-depth style: contig pos pos depth
+    dline = open(tmp_path / "plot.depth.txt").readline().split()
+    assert dline[0] == "mt1" and dline[1] == dline[2] == "1"
+
 
 def test_gc_windows():
     codes = encoding.encode("GGGG" + "AAAA" + "GGCC" + "ATAT")
