@@ -61,12 +61,20 @@ class FastqStream:
     triples. Separator line ('+') content is discarded, like the
     reference's reader."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, byte_range: Optional[Tuple[int, int]] = None):
+        if byte_range is not None and path.endswith(".gz"):
+            raise ValueError("byte_range requires an uncompressed FASTQ")
         self.path = path
+        self.byte_range = byte_range
 
     def __iter__(self) -> Iterator[Tuple[bytes, bytes, bytes]]:
+        start, end = self.byte_range or (0, None)
         with _open_text(self.path) as f:
+            if start:
+                f.seek(start)
             while True:
+                if end is not None and f.tell() >= end:
+                    return
                 name = f.readline()
                 if not name:
                     return
@@ -97,21 +105,25 @@ def read_batches(
     max_read_len: int = 256,
     keep_names: bool = False,
     limit_bases: int = 0,
+    byte_range: "Optional[Tuple[int, int]]" = None,
 ) -> Iterator[ReadBatch]:
     """Yield fixed-shape batches. ``limit_bases`` truncates the stream after
     N bases total (the reference's ``trimming`` Gbp gate,
-    filter/filter_bin/src/main.rs: stop after `trim` bp)."""
-    native = _try_native_batches(path, batch_reads, max_read_len, keep_names, limit_bases)
-    if native is not None:
-        yield from native
-        return
+    filter/filter_bin/src/main.rs: stop after `trim` bp). ``byte_range``
+    restricts the stream to a record-aligned file slice — the multi-host
+    sharded-ingestion contract (parallel/distributed.host_file_range)."""
+    if byte_range is None:
+        native = _try_native_batches(path, batch_reads, max_read_len, keep_names, limit_bases)
+        if native is not None:
+            yield from native
+            return
     seqs = np.full((batch_reads, max_read_len), encoding.N, dtype=np.int8)
     quals = np.zeros((batch_reads, max_read_len), dtype=np.int8)
     lengths = np.zeros(batch_reads, dtype=np.int32)
     names: List[bytes] = []
     i = 0
     seen = 0
-    for name, seq, qual in FastqStream(path):
+    for name, seq, qual in FastqStream(path, byte_range):
         if limit_bases and seen >= limit_bases:
             break
         L = min(len(seq), max_read_len)
@@ -140,11 +152,16 @@ def read_pair_batches(
     max_read_len: int = 256,
     keep_names: bool = False,
     limit_bases: int = 0,
+    byte_ranges: "Optional[Tuple[Tuple[int, int], Tuple[int, int]]]" = None,
 ) -> Iterator[Tuple[ReadBatch, ReadBatch]]:
     """Paired-end batches: records are consumed in lockstep; a pair counts
-    toward the base limit with both mates."""
-    it1 = FastqStream(path1).__iter__()
-    it2 = FastqStream(path2).__iter__()
+    toward the base limit with both mates. ``byte_ranges`` restricts each
+    file to a PAIR-ALIGNED slice (both ranges must start at the same record
+    index — parallel/distributed.host_pair_ranges guarantees it by matching
+    read names)."""
+    r1, r2 = byte_ranges if byte_ranges is not None else (None, None)
+    it1 = FastqStream(path1, r1).__iter__()
+    it2 = FastqStream(path2, r2).__iter__()
 
     def fresh():
         return (

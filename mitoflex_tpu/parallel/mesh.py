@@ -7,9 +7,12 @@ data parallelism over reads/contigs/windows on a ``jax.sharding.Mesh``
 collectives over ICI:
 
 - read filtering: batch sharded on axis 0, no communication;
-- k-mer counting: each device sort-counts its shard, then sorted runs are
-  merged with an ``all_gather`` + re-sort (a distributed histogram merge —
-  the psum analog for sparse keys);
+- k-mer counting: each device sort-counts its shard, then the runs merge
+  either replicated (``all_gather`` + re-sort; small tables) or
+  PARTITIONED (range-bucket + ``all_to_all``; O(global/N) per chip —
+  count_kmers_sharded_partitioned, the default pipeline_step path);
+- read->contig mapping: reads sharded, the mito-scale seed index
+  replicated (map_reads_sharded);
 - profile-HMM scanning: windows sharded on axis 0, profiles replicated.
 
 Multi-host runs initialize jax.distributed outside and pass the global
@@ -81,6 +84,18 @@ def filter_reads_sharded(
     )(seqs, quals, lengths, cutoff_lengths)
 
 
+def _local_count_both_strands(s: jax.Array, l: jax.Array, k: int):
+    """Per-device sort-count of both-strand k-mers of a read shard:
+    (unique words [M] x W ascending, counts [M], n_unique). Padding rows
+    are all-ones keys with zero counts and sort last."""
+    words, valid = kmer_ops.extract_kmers(s, l, k)
+    rc = kmer_ops.revcomp_codes(s, l)
+    words_r, valid_r = kmer_ops.extract_kmers(rc, l, k)
+    cat = [jnp.concatenate([a, b]) for a, b in zip(words, words_r)]
+    cat_v = jnp.concatenate([valid, valid_r])
+    return kmer_ops.sort_count_unique(cat, cat_v)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
 def count_kmers_sharded(
     mesh: Mesh, seqs: jax.Array, lengths: jax.Array, k: int
@@ -91,15 +106,12 @@ def count_kmers_sharded(
 
     Returns (words list [N_total] x W, counts [N_total], n_unique) fully
     replicated — the multi-chip analog of the host-side
-    merge_sorted_counts."""
+    merge_sorted_counts. Per-chip memory is O(global): use
+    count_kmers_sharded_partitioned when the merged table must stay
+    partitioned (large meshes)."""
 
     def local(s, l):
-        words, valid = kmer_ops.extract_kmers(s, l, k)
-        rc = kmer_ops.revcomp_codes(s, l)
-        words_r, valid_r = kmer_ops.extract_kmers(rc, l, k)
-        cat = [jnp.concatenate([a, b]) for a, b in zip(words, words_r)]
-        cat_v = jnp.concatenate([valid, valid_r])
-        uw, uc, _ = kmer_ops.sort_count_unique(cat, cat_v)
+        uw, uc, _ = _local_count_both_strands(s, l, k)
         # gather every device's sorted run, then merge by re-counting with
         # the counts as weights
         gw = [jax.lax.all_gather(w, "data", tiled=True) for w in uw]
@@ -119,6 +131,138 @@ def count_kmers_sharded(
     )(seqs, lengths)
     W = kmer_ops.num_words(k)
     return list(outs[:W]), outs[W], outs[W + 1]
+
+
+def _u32_bitcast_i32(x: jax.Array) -> jax.Array:
+    """Order-preserving uint32 -> int32 mapping (flip the sign bit and
+    bitcast) so searchsorted can run without x64."""
+    return jax.lax.bitcast_convert_type(x ^ jnp.uint32(0x80000000), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "slack"))
+def count_kmers_sharded_partitioned(
+    mesh: Mesh, seqs: jax.Array, lengths: jax.Array, k: int, slack: float = 2.0
+):
+    """Distributed k-mer histogram with a PARTITIONED result: per-chip
+    memory stays O(global / n_devices) instead of the all_gather merge's
+    O(global) (the scale wall past ~8 chips).
+
+    Each device sort-counts its read shard, range-partitions its sorted
+    run by the first key word into n_dev contiguous buckets (uniform
+    boundaries — both strands are counted, so keys are symmetric and
+    near-uniform on random-ish data), and a single ``all_to_all`` routes
+    bucket j of every device to device j over ICI. Each device then merges
+    the n_dev sorted runs it received with one weighted sort-count — after
+    which device j holds the exact global (keys, counts) table of key
+    range j only.
+
+    Buckets are fixed-capacity ``C = ceil(M / n_dev * slack)`` blocks
+    (static shapes for XLA); keys beyond a bucket's capacity are dropped
+    and counted in the returned ``overflow`` scalar (0 in practice at
+    slack=2 — callers should treat nonzero overflow as a resize signal).
+
+    Returns (words list [n_dev*C] x W sharded on "data", counts sharded,
+    n_unique [n_dev] per-shard valid row counts, overflow replicated
+    scalar). Row i of shard j is valid iff i < n_unique[j].
+    """
+    ndev = int(np.prod(mesh.devices.shape))
+    W = kmer_ops.num_words(k)
+    # static word0 range boundaries (uniform over the uint32 space),
+    # mapped through the same order-preserving u32->i32 bitcast as the keys;
+    # only the ndev-1 INNER boundaries are searched — bucket 0 starts at row
+    # 0 and the last bucket runs to the end (padding rows there carry zero
+    # counts and vanish in the merge)
+    inner = [((j * (1 << 32)) // ndev) ^ (1 << 31) for j in range(1, ndev)]
+    inner_i32 = jnp.asarray(
+        [b - (1 << 32) if b >= (1 << 31) else b for b in inner], jnp.int32
+    )
+
+    def local(s, l):
+        uw, uc, nu = _local_count_both_strands(s, l, k)
+        M = uc.shape[0]
+        C = int(min(M, max(8, -(-int(M * slack) // ndev))))
+        w0 = _u32_bitcast_i32(uw[0])
+        lo = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.searchsorted(w0, inner_i32).astype(jnp.int32),
+            jnp.full((1,), M, jnp.int32),
+        ])  # [ndev+1], ascending
+        iota = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0).squeeze(-1)
+        blocks = []
+        overflow = jnp.int32(0)
+        for j in range(ndev):
+            start = jnp.clip(lo[j], 0, M - C)
+            ridx = start + iota
+            ok = jnp.logical_and(ridx >= lo[j], ridx < lo[j + 1])
+            cols = [
+                jnp.where(ok, jax.lax.dynamic_slice_in_dim(w, start, C),
+                          jnp.uint32(0xFFFFFFFF))
+                for w in uw
+            ]
+            cols.append(
+                jnp.where(ok, jax.lax.dynamic_slice_in_dim(uc, start, C),
+                          jnp.uint32(0))
+            )
+            blocks.append(jnp.stack(cols, axis=-1))  # [C, W+1]
+            # overflow over REAL rows only (first nu rows are valid keys;
+            # the padding tail rides in the last bucket with zero counts)
+            hi_real = jnp.minimum(lo[j + 1], nu)
+            lo_real = jnp.minimum(lo[j], nu)
+            overflow += jnp.maximum(hi_real - lo_real - C, 0)
+        x = jnp.stack(blocks, axis=0)  # [ndev, C, W+1]
+        # route bucket j to device j; receive one block from every device
+        x = jax.lax.all_to_all(x, "data", split_axis=0, concat_axis=0,
+                               tiled=False)
+        rx_words = [x[..., i].reshape(-1) for i in range(W)]
+        rx_counts = x[..., W].reshape(-1)
+        mw, mc, mn = kmer_ops.sort_count_unique(
+            rx_words, rx_counts > 0, weights=rx_counts
+        )
+        total_overflow = jax.lax.psum(overflow, "data")
+        return (*mw, mc, mn.reshape(1), total_overflow)
+
+    outs = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data")),
+        out_specs=(*([P("data")] * W), P("data"), P("data"), P()),
+        # the psum'd overflow is replicated by construction
+        check_vma=False,
+    )(seqs, lengths)
+    return list(outs[:W]), outs[W], outs[W + 1], outs[W + 2]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_votes", "step", "max_mult", "mesh")
+)
+def map_reads_sharded(
+    mesh: Mesh,
+    index_keys: jax.Array,
+    contig_of: jax.Array,
+    pos_of: jax.Array,
+    seqs: jax.Array,
+    lengths: jax.Array,
+    min_votes: int = 2,
+    step: int = 4,
+    max_mult: int = 4,
+):
+    """Read->contig mapping fan-out: reads sharded on the data axis, the
+    contig seed index replicated (it is mito-scale — tens of kb). The same
+    sort-join mapper kernel (ops/mapper.py) the remap/visualize/bim
+    consumers use, compiled once over the mesh."""
+    from ..ops import mapper as mapper_ops
+
+    def local(s, l):
+        return mapper_ops._map_device(
+            index_keys, contig_of, pos_of, s, l, min_votes, step, max_mult
+        )
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data")),
+        out_specs=(P("data"), P("data"), P("data"), P("data")),
+        # replicated index + sharded reads mix in the join sorts
+        check_vma=False,
+    )(seqs, lengths)
 
 
 @functools.partial(jax.jit, static_argnames=("model_len", "mesh"))
@@ -187,15 +331,18 @@ def pipeline_step(
     k: int = 21,
 ):
     """One fused device step of the production pipeline over a mesh:
-    filter -> count k-mers of surviving reads -> profile scan. Used by the
-    multi-chip dry run and as the unit the benchmark scales over."""
+    filter -> partitioned k-mer merge (all_to_all) -> profile scan. Used by
+    the multi-chip dry run and as the unit the benchmark scales over."""
     keep, h1, h2 = filter_reads_sharded(mesh, seqs, quals, lengths)
     lengths_f = jnp.where(keep, lengths, 0)
-    words, counts, n_unique = count_kmers_sharded(mesh, seqs, lengths_f, k)
+    words, counts, n_per, overflow = count_kmers_sharded_partitioned(
+        mesh, seqs, lengths_f, k
+    )
     hits = viterbi_scan_sharded(mesh, prof, seqs, lengths_f, model_len)
     return dict(
         kept=jnp.sum(keep.astype(jnp.int32)),
-        n_unique_kmers=n_unique,
+        n_unique_kmers=jnp.sum(n_per),
+        kmer_overflow=overflow,
         max_count=jnp.max(counts),
         best_score=jnp.max(hits.score),
     )

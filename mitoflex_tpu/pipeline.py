@@ -95,7 +95,16 @@ def run_filter(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None,
     # --cleanq1/--cleanq2 override the default names (MitoFlex.py:81-88;
     # names resolve inside the cleandata dir, absolute paths win the join);
     # gzipped output carries the .gz suffix (MitoFlex.py:280-282)
+    from .parallel.distributed import shard_info
+
+    pid, n_hosts = shard_info()
+
     def gz(name: str) -> str:
+        if n_hosts > 1:
+            # per-host output shard (multi-host ingestion splits the input;
+            # downstream stages on this host consume this host's shard)
+            root, dot, ext = name.rpartition(".")
+            name = f"{root}.p{pid}{dot}{ext}" if dot else f"{name}.p{pid}"
         if ctx.cfg.filter.compress_output and not name.endswith(".gz"):
             return name + ".gz"
         return name
@@ -105,7 +114,8 @@ def run_filter(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None,
         wd.stage_file("cleandata", gz(cleanq2 or "clean.2.fq"))
         if fastq2 else None
     )
-    res = filter_reads(ctx.cfg.filter, fastq1, clean1, fastq2, clean2, mesh=ctx.mesh)
+    res = filter_reads(ctx.cfg.filter, fastq1, clean1, fastq2, clean2,
+                       mesh=ctx.mesh, host_shard=(pid, n_hosts))
     wd.write_manifest("cleandata", {
         "inputs": [fastq1] + ([fastq2] if fastq2 else []),
         "outputs": [res.clean1] + ([res.clean2] if res.clean2 else []),
@@ -115,14 +125,18 @@ def run_filter(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None,
     return res
 
 
-def run_assemble(ctx: PipelineContext, clean1: str, clean2: Optional[str] = None) -> str:
+def run_assemble(ctx: PipelineContext, clean1: str, clean2: Optional[str] = None,
+                 inputs_sharded: bool = False) -> str:
+    """``inputs_sharded``: the clean files are already this host's shard
+    (multi-host `all` flow) — don't split them again."""
     from .stages.assemble import assemble
     from .stages.scaffold import scaffold_contigs
 
     wd = ctx.workdir
     out = wd.stage_file("assemble", "contigs.fa")
     assemble(ctx.cfg.assemble, clean1, clean2, out,
-             max_read_len=ctx.cfg.filter.max_read_len)
+             max_read_len=ctx.cfg.filter.max_read_len,
+             host_shard=(0, 1) if inputs_sharded else None)
     if not ctx.cfg.assemble.disable_scaffolding and clean2:
         out2 = wd.stage_file("assemble", "scaffolds.fa")
         scaffold_contigs(ctx.cfg.assemble, out, clean1, clean2, out2)
@@ -250,7 +264,7 @@ def run_all(
         res = run_filter(ctx, fastq1, fastq2)
         clean1, clean2 = res.clean1, res.clean2
     c = cached("assemble")
-    contigs = c[0] if c else run_assemble(ctx, clean1, clean2)
+    contigs = c[0] if c else run_assemble(ctx, clean1, clean2, inputs_sharded=True)
     c = cached("findmitoscaf")
     picked = c[0] if c else run_findmitoscaf(ctx, contigs)
     summary: Dict = {"picked": picked}
@@ -278,7 +292,7 @@ def run_bim(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None) -> 
     cfg = ctx.cfg
     wd = ctx.workdir
     res = run_filter(ctx, fastq1, fastq2)
-    bait = run_assemble(ctx, res.clean1, res.clean2)
+    bait = run_assemble(ctx, res.clean1, res.clean2, inputs_sharded=True)
     picked = bait
     for i in range(cfg.bim.max_iteration):
         logger.info(f"bim: generation {i}")

@@ -512,22 +512,52 @@ def assemble(
     out_fasta: str,
     read_chunk: int = 4096,
     max_read_len: int = 256,
+    host_shard: Optional[Tuple[int, int]] = None,
 ) -> str:
-    """Full multi-k assembly from clean FASTQ to contig FASTA."""
+    """Full multi-k assembly from clean FASTQ to contig FASTA.
+
+    ``host_shard=(process_id, n_processes)`` restricts this host's read
+    ingestion to its 1/n record-aligned byte range of each input file
+    (counting needs no pair alignment, so the files split independently);
+    gzipped inputs can't seek and fall back to whole-file reads. Pass
+    (0, 1) when the inputs are already per-host files (the multi-host
+    `all` flow, where the filter stage wrote per-host shards)."""
+    if host_shard is None:
+        from ..parallel.distributed import shard_info
+
+        host_shard = shard_info()
+    pid, n_hosts = host_shard
+    ranges = {}
+    if n_hosts > 1:
+        from ..parallel import distributed as dist
+
+        for path in (fastq1, fastq2):
+            if path and not path.endswith(".gz"):
+                ranges[path] = dist.host_file_range(path, pid, n_hosts)
+        logger.info(f"assemble: host {pid}/{n_hosts} read ranges {ranges}")
 
     def read_source():
         # background producer thread: FASTQ decode overlaps device compute
         if fastq2 is None:
-            with prefetch(fastq.read_batches(fastq1, read_chunk, max_read_len), 3) as it:
+            with prefetch(
+                fastq.read_batches(fastq1, read_chunk, max_read_len,
+                                   byte_range=ranges.get(fastq1)), 3
+            ) as it:
                 for b in it:
                     yield b.seqs, b.lengths
         else:
-            with prefetch(
-                fastq.read_pair_batches(fastq1, fastq2, read_chunk, max_read_len), 3
-            ) as it:
-                for b1, b2 in it:
-                    yield b1.seqs, b1.lengths
-                    yield b2.seqs, b2.lengths
+            # pairing is irrelevant for counting: read the two files as
+            # independent streams so each splits on its own byte range
+            def chain():
+                for path in (fastq1, fastq2):
+                    yield from fastq.read_batches(
+                        path, read_chunk, max_read_len,
+                        byte_range=ranges.get(path),
+                    )
+
+            with prefetch(chain(), 3) as it:
+                for b in it:
+                    yield b.seqs, b.lengths
 
     # resize k list against the max read length (reference assemble.py:79-84)
     max_len = 0

@@ -9,6 +9,7 @@ fixed-shape batches and writes survivors back out.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -97,11 +98,27 @@ def filter_reads(
     fastq2: Optional[str] = None,
     out2: Optional[str] = None,
     mesh=None,
+    host_shard: Optional[Tuple[int, int]] = None,
 ) -> FilterResult:
     """Run the filter stage. PE iff fastq2 is given. With ``mesh`` the
     per-batch kernel runs data-parallel across the mesh's devices
-    (parallel/mesh.py); batches stay host-fed either way."""
+    (parallel/mesh.py); batches stay host-fed either way.
+
+    ``host_shard=(process_id, n_processes)`` makes this host ingest only
+    its 1/n slice of the input (multi-host scale-out; resolved from
+    jax.process_count() when None): record-aligned byte ranges for plain
+    FASTQ (parallel/distributed.host_file_range / host_pair_ranges), batch
+    striding for gzipped input (gz streams can't seek). The caller routes
+    each host's output to a distinct path; the trimming budget is split
+    evenly across hosts."""
+    if host_shard is None:
+        from ..parallel.distributed import shard_info
+
+        host_shard = shard_info()
+    pid, n_hosts = host_shard
     budget = int(round(cfg.trimming * 1_000_000_000)) if cfg.trimming else 0
+    if n_hosts > 1:
+        budget //= n_hosts
     timer = StageTimer()
     dedup = _DedupSet() if (cfg.deduplication and fastq2) else None
     reads_in = reads_kept = bases_in = bases_kept = dups = used = 0
@@ -128,11 +145,35 @@ def filter_reads(
                 cutoff_lengths,
             )
 
+    def _shard_iter(it):
+        """Batch-striding fallback for unseekable (gz) input: host p keeps
+        batches p, p+n, p+2n, ..."""
+        if n_hosts <= 1:
+            return it
+        return itertools.islice(it, pid, None, n_hosts)
+
+    se_range = pe_ranges = None
+    if n_hosts > 1 and not fastq1.endswith(".gz") and not (
+        fastq2 and fastq2.endswith(".gz")
+    ):
+        from ..parallel import distributed as dist
+
+        if fastq2 is None:
+            se_range = dist.host_file_range(fastq1, pid, n_hosts)
+        else:
+            pe_ranges = dist.host_pair_ranges(fastq1, fastq2, pid, n_hosts)
+        logger.info(f"filter: host {pid}/{n_hosts} ingesting byte range "
+                    f"{se_range or pe_ranges}")
+
     if fastq2 is None:
+        se_iter = fastq.read_batches(
+            fastq1, cfg.batch_reads, cfg.max_read_len, keep_names=True,
+            byte_range=se_range,
+        )
+        if se_range is None:
+            se_iter = _shard_iter(se_iter)
         with fastq.FastqWriter(out1, cfg.compress_output) as w, prefetch(
-            fastq.read_batches(
-                fastq1, cfg.batch_reads, cfg.max_read_len, keep_names=True
-            )
+            se_iter
         ) as batches:
             for batch in batches:
                 batch = _trim_batch(batch, cfg.keep_region)
@@ -156,12 +197,16 @@ def filter_reads(
         result = FilterResult(out1, None, reads_in, reads_kept, bases_in, bases_kept, 0)
     else:
         assert out2 is not None
+        pe_iter = fastq.read_pair_batches(
+            fastq1, fastq2, cfg.batch_reads, cfg.max_read_len, keep_names=True,
+            byte_ranges=pe_ranges,
+        )
+        if pe_ranges is None:
+            pe_iter = _shard_iter(pe_iter)
         with fastq.FastqWriter(out1, cfg.compress_output) as w1, fastq.FastqWriter(
             out2, cfg.compress_output
         ) as w2, prefetch(
-            fastq.read_pair_batches(
-                fastq1, fastq2, cfg.batch_reads, cfg.max_read_len, keep_names=True
-            )
+            pe_iter
         ) as batches:
             for b1, b2 in batches:
                 b1 = _trim_batch(b1, cfg.keep_region)

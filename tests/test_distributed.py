@@ -51,3 +51,113 @@ def test_filter_stage_with_mesh(tmp_path, rng):
     res = filter_reads(cfg, p, str(tmp_path / "c.fq"), mesh=mesh)
     assert res.reads_in == 208
     assert res.reads_kept == 200
+
+
+def _read_names(path, byte_range=None):
+    from mitoflex_tpu.io.fastq import FastqStream
+
+    return [n for n, _, _ in FastqStream(path, byte_range)]
+
+
+def test_host_pair_ranges_stay_pair_aligned(tmp_path, rng):
+    """PE boundary alignment by read name: mate files with different
+    record byte sizes still split at the SAME record index."""
+    g = synth.random_genome(rng, 4000)
+    pairs = synth.shotgun_reads(rng, g, 500, read_len=100, insert=280)
+    p1, p2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    with open(p1, "w") as a, open(p2, "w") as b:
+        for i, (x, y) in enumerate(pairs):
+            # mate-2 names carry a long comment so byte offsets drift
+            a.write(f"@pair{i}/1\n{x[0]}\n+\n{x[1]}\n")
+            b.write(f"@pair{i}/2 some much longer descriptive comment here\n"
+                    f"{y[0][:90]}\n+\n{y[1][:90]}\n")
+    n = 3
+    all1, all2 = [], []
+    for pid in range(n):
+        r1, r2 = dist.host_pair_ranges(str(p1), str(p2), pid, n)
+        n1 = _read_names(str(p1), r1)
+        n2 = _read_names(str(p2), r2)
+        assert len(n1) == len(n2), (pid, len(n1), len(n2))
+        for a_, b_ in zip(n1, n2):
+            assert dist._base_name(a_) == dist._base_name(b_)
+        all1 += n1
+        all2 += n2
+    assert len(all1) == 500  # every pair exactly once
+    assert all1 == [f"@pair{i}/1".encode() for i in range(500)]
+
+
+def test_filter_stage_host_sharded_matches_single(tmp_path, rng):
+    """Running the PE filter as 3 simulated hosts (byte-range ingestion)
+    and concatenating the shard outputs reproduces the single-host run."""
+    from mitoflex_tpu.config import FilterConfig
+    from mitoflex_tpu.stages.filter import filter_reads
+
+    g = synth.random_genome(rng, 3000)
+    pairs = synth.shotgun_reads(rng, g, 300, read_len=100, insert=280)
+    bad = [(("N" * 100, "#" * 100), ("N" * 100, "#" * 100))] * 10
+    p1, p2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    with open(p1, "w") as a, open(p2, "w") as b:
+        for i, (x, y) in enumerate(pairs + bad):
+            a.write(f"@p{i}/1\n{x[0]}\n+\n{x[1]}\n")
+            b.write(f"@p{i}/2\n{y[0]}\n+\n{y[1]}\n")
+    cfg = FilterConfig(batch_reads=64, max_read_len=128, deduplication=False)
+
+    ref = filter_reads(cfg, str(p1), str(tmp_path / "s.1.fq"),
+                       str(p2), str(tmp_path / "s.2.fq"), host_shard=(0, 1))
+    shard_out = []
+    kept = 0
+    for pid in range(3):
+        res = filter_reads(cfg, str(p1), str(tmp_path / f"c{pid}.1.fq"),
+                           str(p2), str(tmp_path / f"c{pid}.2.fq"),
+                           host_shard=(pid, 3))
+        kept += res.reads_kept
+        shard_out += open(tmp_path / f"c{pid}.1.fq").read().splitlines()
+    assert kept == ref.reads_kept == 300
+    want = open(tmp_path / "s.1.fq").read().splitlines()
+    assert shard_out == want
+
+
+def test_filter_stage_gz_falls_back_to_batch_striding(tmp_path, rng):
+    """Gzipped input can't seek: hosts stride batches instead; the union
+    of shard outputs still covers every kept read exactly once."""
+    import gzip
+
+    from mitoflex_tpu.config import FilterConfig
+    from mitoflex_tpu.stages.filter import filter_reads
+
+    reads = synth.shotgun_reads(rng, synth.random_genome(rng, 2000), 200,
+                                read_len=100)
+    plain = synth.write_fastq(tmp_path / "in.fq", reads)
+    gz = str(tmp_path / "in.fq.gz")
+    with open(plain, "rb") as f, gzip.open(gz, "wb") as z:
+        z.write(f.read())
+    cfg = FilterConfig(batch_reads=32, max_read_len=128)
+    lines = []
+    for pid in range(2):
+        filter_reads(cfg, gz, str(tmp_path / f"c{pid}.fq"), host_shard=(pid, 2))
+        lines += open(tmp_path / f"c{pid}.fq").read().splitlines()
+    names = sorted(l for l in lines if l.startswith("@"))
+    assert names == sorted(f"@r{i}" for i in range(200))
+
+
+def test_assemble_host_sharded_reconstructs_genome(tmp_path, rng):
+    """Assembly with 2-host byte-range ingestion per host still counts the
+    union of all reads: each host's contigs come only from its slice, so
+    run both shards and check the first host's graph sees its half."""
+    from mitoflex_tpu.config import AssembleConfig
+    from mitoflex_tpu.io import fasta
+    from mitoflex_tpu.stages.assemble import assemble
+
+    g = synth.random_genome(rng, 1500)
+    reads = synth.shotgun_reads(rng, g, 900, read_len=100)
+    p = synth.write_fastq(tmp_path / "r.fq", reads)
+    cfg = AssembleConfig(kmer_list=[21, 41], depth_list=[5, 5], min_multi=3,
+                         prune_depth=2)
+    # 30x per shard is still plenty to assemble the genome from HALF the
+    # reads — validates the byte-range read source end-to-end
+    out = str(tmp_path / "contigs.fa")
+    assemble(cfg, p, None, out, read_chunk=512, max_read_len=128,
+             host_shard=(0, 2))
+    recs = fasta.load_fasta(out)
+    best = max(recs, key=lambda r: len(r.seq))
+    assert len(best.seq) >= 1400

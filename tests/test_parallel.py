@@ -49,6 +49,63 @@ def test_sharded_kmer_count_matches_single(mesh8, rng):
     )
 
 
+def test_partitioned_kmer_merge_matches_single(mesh8, rng):
+    """all_to_all range-partitioned merge: concatenating the per-device
+    key-range shards reproduces the single-device global table exactly,
+    with zero bucket overflow at the default slack."""
+    seqs, _, lengths = _batch(rng, B=64, L=96)
+    k = 21
+    ds, dl = mesh_mod.shard_batch(mesh8, jnp.asarray(seqs), jnp.asarray(lengths))
+    words_p, counts_p, n_per, overflow = mesh_mod.count_kmers_sharded_partitioned(
+        mesh8, ds, dl, k
+    )
+    assert int(overflow) == 0
+    n_per = np.asarray(n_per)
+    ndev = 8
+    shard_rows = counts_p.shape[0] // ndev
+    got_keys, got_counts = [], []
+    for d in range(ndev):
+        nu = int(n_per[d])
+        rows = slice(d * shard_rows, d * shard_rows + nu)
+        got_keys.append(kmer_ops.words_to_np_keys(
+            [np.asarray(w)[rows] for w in words_p]))
+        got_counts.append(np.asarray(counts_p)[rows])
+    got_keys = np.concatenate(got_keys)
+    got_counts = np.concatenate(got_counts)
+
+    uw, uc, nu = kmer_ops.count_chunk(jnp.asarray(seqs), jnp.asarray(lengths), k)
+    nu = int(nu)
+    want_keys = kmer_ops.words_to_np_keys([np.asarray(w)[:nu] for w in uw])
+    # shards are ascending key ranges, so the concatenation is sorted too
+    np.testing.assert_array_equal(got_keys, want_keys)
+    np.testing.assert_array_equal(got_counts, np.asarray(uc)[:nu])
+
+
+def test_sharded_mapper_matches_single(mesh8, rng):
+    from mitoflex_tpu.io.fasta import FastaRecord
+    from mitoflex_tpu.ops import mapper as mapper_ops
+    from tests import synth
+
+    g = synth.random_genome(rng, 3000)
+    recs = [FastaRecord("c0", g[:1500]), FastaRecord("c1", g[1500:])]
+    index = mapper_ops.ContigIndex.build(recs)
+    B, L = 64, 100
+    seqs = np.zeros((B, L), np.int8)
+    lengths = np.full(B, L, np.int32)
+    from mitoflex_tpu.io import encoding
+    for i in range(B):
+        s = int(rng.integers(0, len(g) - L))
+        seqs[i] = encoding.encode(g[s : s + L].encode())
+    ds, dl = mesh_mod.shard_batch(mesh8, jnp.asarray(seqs), jnp.asarray(lengths))
+    c_s, p_s, st_s, v_s = mesh_mod.map_reads_sharded(
+        mesh8, index.keys, index.contig_of, index.pos_of, ds, dl
+    )
+    want = mapper_ops.map_batch(index, seqs, lengths, min_votes=2)
+    np.testing.assert_array_equal(np.asarray(c_s), want.contig)
+    np.testing.assert_array_equal(np.asarray(p_s), want.pos)
+    np.testing.assert_array_equal(np.asarray(st_s), want.strand)
+
+
 def test_sharded_sw_matches_single(mesh8, rng):
     from mitoflex_tpu.ops import sw as sw_ops
 
