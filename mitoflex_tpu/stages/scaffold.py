@@ -129,42 +129,43 @@ def scaffold_contigs(
         s = records[ci].seq
         return s if enter_end == 0 else encoding.revcomp_str(s)
 
+    # Each contig end is used by at most one join (greedy matching above),
+    # so the link graph decomposes into simple PATHS and RINGS — nothing
+    # else. Chains start at every unlinked end (walking from one end of a
+    # path consumes it whole, so its far-end start is skipped as visited);
+    # any contig left after that is on a ring, which is broken at its
+    # lowest-id contig (the closing link's gap is dropped — a circular
+    # scaffold is emitted linearized, flagged by the circularity re-check
+    # below like scaf2mega).
     visited = set()
+    starts: List[Tuple[int, int]] = []
+    for ci in range(len(records)):
+        linked0, linked1 = (ci, 0) in adj, (ci, 1) in adj
+        if not linked0:
+            starts.append((ci, 0))      # isolated contigs land here too
+        elif not linked1:
+            starts.append((ci, 1))
+    starts += [(ci, 0) for ci in range(len(records))]  # ring fallback
+
+    def walk(ci: int, enter: int) -> List:
+        """Forward walk: [(contig, entry_end), ("gap", n), ...]."""
+        visited.add(ci)
+        chain: List = [(ci, enter)]
+        while True:
+            nxt = adj.get((chain[-1][0], 1 - chain[-1][1]))
+            if nxt is None or nxt[0] in visited:
+                return chain
+            ncur, nent, gap = nxt
+            visited.add(ncur)
+            chain.append(("gap", gap))
+            chain.append((ncur, nent))
+
     out_records: List[FastaRecord] = []
     sidx = 0
-    for start_ci in range(len(records)):
-        if start_ci in visited:
+    for ci, enter in starts:
+        if ci in visited:
             continue
-        # find a chain start: an end not linked, walking backwards
-        ci, enter = start_ci, 0
-        # choose entry end: if left end linked and right not, enter right
-        if (ci, 0) in adj and (ci, 1) not in adj:
-            enter = 1
-        # walk to chain start
-        guard = 0
-        while (ci, enter) in adj and guard < len(records) * 2:
-            prev_c, prev_e, _ = adj[(ci, enter)]
-            if prev_c in visited or prev_c == start_ci and guard > 0:
-                break
-            ci, enter = prev_c, 1 - prev_e
-            guard += 1
-        # now walk forward building the scaffold
-        chain = []
-        cur, centr = ci, enter
-        guard = 0
-        while cur not in visited and guard < len(records) * 2:
-            visited.add(cur)
-            chain.append((cur, centr))
-            exit_end = 1 - centr
-            nxt = adj.get((cur, exit_end))
-            if nxt is None:
-                break
-            ncur, nent, gap = nxt
-            if ncur in visited:
-                break
-            chain.append(("gap", gap))
-            cur, centr = ncur, nent
-            guard += 1
+        chain = walk(ci, enter)
         # render
         parts: List[str] = []
         pending_gap: Optional[int] = None
