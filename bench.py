@@ -1,21 +1,32 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Metric: read-filter device throughput in bases/second on one chip (the
-BASELINE "filter-only" config; the reference filters 5 Gbp in ~5 minutes
-on 8 CPU threads — configurations.py:45-48 — i.e. ~16.7 Mbp/s;
-vs_baseline is measured against that).
+Headline metric: read-filter device throughput in bases/second on one
+chip (the BASELINE "filter-only" config; the reference filters 5 Gbp in
+~5 minutes on 8 CPU threads — configurations.py:45-48 — i.e. ~16.7 Mbp/s;
+vs_baseline is measured against that). The line also carries ``extras``:
+
+- ``kmer_count_mkeys_s``: canonical k-mer counting throughput on the same
+  chip (k=31, ~3.7M windows/chunk) — the pipeline's self-identified
+  throughput crux (PLAN.md #1).
+- ``e2e_fixture_wall_s`` / ``e2e_vs_ref_golden``: wall-clock of the FULL
+  pipeline (filter -> assemble -> findmitoscaf -> annotate -> visualize)
+  on a small synthetic fixture, run in a CPU child (local compiles; the
+  remote-compile tunnel would measure compile RTT, not the pipeline).
+  The comparison point is the reference's small golden sample e2e
+  (~3 min, README.md:116) — same spirit: a complete mitogenome problem
+  small enough to finish in minutes.
 
 Structure: the parent process never imports jax. It launches timeboxed
-child processes (this same file with ``--child``) that claim the device
-session, measure, and print the JSON line; the parent relays the last
-JSON line it sees. The measured kernel is the framework's default filter
-dispatch (plain XLA — measured FASTER than the hand-written Pallas kernel,
-see ops/filter.py; set MITOFLEX_FORCE_PALLAS=1 to measure that one
-instead). If an attempt wedges (the remote compile tunnel serves one
-session at a time and can hang), the child is killed, the tunnel gets a
-cooldown, and the attempt is retried; a CPU child is the last resort.
+child processes (this same file with ``--child`` / ``--child-e2e``) that
+claim the device session, measure, and print a JSON line; the parent
+composes the final line. The measured filter kernel is the framework's
+default dispatch (plain XLA — measured FASTER than the hand-written
+Pallas kernel, see ops/filter.py; set MITOFLEX_FORCE_PALLAS=1 to measure
+that one instead). If an attempt wedges (the remote compile tunnel serves
+one session at a time and can hang), the child is killed, the tunnel gets
+a cooldown, and the attempt is retried; a CPU child is the last resort.
 
-Measurement method (in the child): the kernel runs inside a device-side
+Measurement method (device child): kernels run inside a device-side
 fori_loop with a per-iteration AND per-invocation input perturbation, and
 the loop result is reduced to one scalar read back to the host. This is
 robust against async dispatch, remote result caching, and loop-invariant
@@ -35,8 +46,27 @@ import time
 import numpy as np
 
 BASELINE_BASES_PER_SEC = 5e9 / 300.0  # reference: 5 Gbp / ~5 min, 8 threads
+REF_GOLDEN_E2E_S = 180.0              # reference golden sample (README.md:116)
 CHILD_TIMEOUT_S = int(os.environ.get("MITOFLEX_BENCH_TIMEOUT", "900"))
+E2E_TIMEOUT_S = int(os.environ.get("MITOFLEX_BENCH_E2E_TIMEOUT", "720"))
 COOLDOWN_S = 75  # tunnel session release after killing a wedged child
+
+
+def _honest_rate(run_factory, call, iters):
+    """Median per-iteration seconds over 3 calibrated (1, N) timing pairs."""
+    run_1, run_n = run_factory(1), run_factory(iters)
+    call(run_1)  # warmup / compile
+    call(run_n)
+    pairs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        call(run_1)
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        call(run_n)
+        t_n = time.perf_counter() - t0
+        pairs.append(max((t_n - t_one) / (iters - 1), 1e-9))
+    return float(np.median(pairs))
 
 
 def _child() -> int:
@@ -45,10 +75,14 @@ def _child() -> int:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from mitoflex_tpu.ops import filter as filter_ops
+    from mitoflex_tpu.ops import kmer as kmer_ops
 
     backend = jax.default_backend()
-    B, L = 65536, 256
     rng = np.random.default_rng(0)
+    seed = [100]
+
+    # ---------------- filter throughput ----------------
+    B, L = 65536, 256
     seqs = rng.integers(0, 4, size=(B, L)).astype(np.int8)
     quals = rng.integers(35, 74, size=(B, L)).astype(np.int8)
     lengths = rng.integers(200, L + 1, size=B).astype(np.int32)
@@ -63,13 +97,13 @@ def _child() -> int:
     )
     print(f"# child: backend={backend} pallas={use_pallas}", file=sys.stderr)
 
-    def loop(iters):
+    def filter_loop(iters):
         @jax.jit
-        def run(s, q, l, seed):
+        def run(s, q, l, sd):
             def body(i, acc):
-                # perturb the input per iteration AND per invocation (seed):
+                # perturb the input per iteration AND per invocation (sd):
                 # the remote platform caches results per (executable, inputs)
-                s2 = s ^ ((i + seed) & 3).astype(jnp.int8)
+                s2 = s ^ ((i + sd) & 3).astype(jnp.int8)
                 keep, h1, _ = kernel(s2, q, l, 10, 55, 0.2)
                 return acc + jnp.sum(keep.astype(jnp.int32)) + h1[0].astype(jnp.int32)
 
@@ -77,79 +111,180 @@ def _child() -> int:
 
         return run
 
-    run_1 = loop(1)
-    iters = 400  # large enough that the loop dwarfs dispatch RTT variance
-    run_n = loop(iters)
-    seed = [100]
-
-    def call(fn):
+    def call_filter(fn):
         seed[0] += 1
         return int(fn(ds, dq, dl, np.int32(seed[0])))
 
-    call(run_1)  # warmup / compile
-    print("# child: 1-iter compiled", file=sys.stderr)
-    call(run_n)
-    print("# child: N-iter compiled", file=sys.stderr)
-    pairs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        call(run_1)
-        t_one = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        call(run_n)
-        t_n = time.perf_counter() - t0
-        pairs.append(max((t_n - t_one) / (iters - 1), 1e-9))
-    per_iter = float(np.median(pairs))
+    per_iter = _honest_rate(filter_loop, call_filter, 400)
     bases_per_sec = B * L / per_iter
+    print(f"# child: filter {bases_per_sec / 1e9:.1f} Gbase/s", file=sys.stderr)
+
+    # ---------------- k-mer counting throughput ----------------
+    K = 31
+    Bk, Lk = 16384, 256
+    kseqs = jnp.asarray(rng.integers(0, 4, size=(Bk, Lk)).astype(np.int8))
+    klens = jnp.asarray(np.full(Bk, Lk, np.int32))
+    windows = Bk * (Lk - K + 1)
+
+    def kmer_loop(iters):
+        @jax.jit
+        def run(s, l, sd):
+            def body(i, acc):
+                s2 = s ^ ((i + sd) & 3).astype(jnp.int8)
+                words, counts, is_start, is_end = kmer_ops.count_chunk_runs(
+                    s2, l, K, canonical=True
+                )
+                return acc + jnp.sum(
+                    jnp.where(is_end, counts, 0).astype(jnp.uint32)
+                ).astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        return run
+
+    def call_kmer(fn):
+        seed[0] += 1
+        return int(fn(kseqs, klens, np.int32(seed[0])))
+
+    kmer_iters = 40 if backend != "cpu" else 3
+    per_iter_k = _honest_rate(kmer_loop, call_kmer, kmer_iters)
+    mkeys_per_sec = windows / per_iter_k / 1e6
+    print(f"# child: kmer count {mkeys_per_sec:.0f} Mkeys/s", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "filter_device_throughput",
-        "value": round(bases_per_sec / 1e9, 4),
-        "unit": "Gbase/s/chip",
-        "vs_baseline": round(bases_per_sec / BASELINE_BASES_PER_SEC, 2),
+        "filter_gbase_s": round(bases_per_sec / 1e9, 4),
+        "kmer_count_mkeys_s": round(mkeys_per_sec, 1),
+        "backend": backend,
     }))
     return 0
 
 
-def _run_child(extra_env: dict) -> str | None:
-    """Run one measurement child; return its JSON line or None."""
+def _child_e2e() -> int:
+    """CPU child: full pipeline on a synthetic fixture, wall-clocked."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import pathlib
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+    from tests import profile_fixture, synth  # noqa: E402
+
+    rng = np.random.default_rng(42)
+    tmp = tempfile.mkdtemp(prefix="mitoflex_bench_")
+    fake = profile_fixture.build(pathlib.Path(tmp), rng)
+    comp = str.maketrans("ACGT", "TGCA")
+    nuclear = synth.random_genome(rng, 3500)
+
+    def pe(g, n, circ):
+        g2 = g + g[:400] if circ else g
+        out = []
+        for _ in range(n):
+            s = rng.integers(0, len(g2) - 300)
+            frag = g2[s : s + 300]
+            out.append((frag[:100], frag[-100:].translate(comp)[::-1]))
+        return out
+
+    pairs = pe(fake.genome, 1400, True) + pe(nuclear, 260, False)
+    f1, f2 = os.path.join(tmp, "r1.fq"), os.path.join(tmp, "r2.fq")
+    with open(f1, "w") as a, open(f2, "w") as b:
+        for i, (x, y) in enumerate(pairs):
+            a.write(f"@p{i}/1\n{x}\n+\n{'I' * 100}\n")
+            b.write(f"@p{i}/2\n{y}\n+\n{'I' * 100}\n")
+    bases = sum(len(x) + len(y) for x, y in pairs)
+
+    from mitoflex_tpu.config import PipelineConfig
+    from mitoflex_tpu.pipeline import PipelineContext, run_all
+
+    cfg = PipelineConfig()
+    cfg.run.workname = "bench_e2e"
+    cfg.run.basedir = tmp
+    cfg.run.profile_dir = fake.profile_dir
+    cfg.assemble.kmer_list = [21, 41]
+    cfg.assemble.depth_list = [5, 5]
+    cfg.search.min_abundance = 10
+    cfg.search.disable_taxa = True
+    cfg.annotate.clade = fake.clade
+    cfg.annotate.genetic_code = 5
+    t0 = time.perf_counter()
+    ctx = PipelineContext.create(cfg)
+    out = run_all(ctx, f1, f2)
+    wall = time.perf_counter() - t0
+    ok = bool(out.get("locs"))
+    print(json.dumps({
+        "e2e_fixture_wall_s": round(wall, 1),
+        "e2e_fixture_bases": bases,
+        "e2e_ok": ok,
+    }))
+    return 0
+
+
+def _run_child(extra_env: dict, arg: str = "--child", timeout: int | None = None) -> dict | None:
+    """Run one measurement child; return its parsed JSON line or None."""
     env = dict(os.environ, **extra_env)
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child"],
-            capture_output=True, text=True, timeout=CHILD_TIMEOUT_S, env=env,
+            [sys.executable, os.path.abspath(__file__), arg],
+            capture_output=True, text=True,
+            timeout=timeout or CHILD_TIMEOUT_S, env=env,
         )
     except subprocess.TimeoutExpired:
-        print("# bench child timed out", file=sys.stderr)
+        print(f"# bench child {arg} timed out", file=sys.stderr)
         return None
     for line in proc.stderr.splitlines():
         print(line, file=sys.stderr)
     for line in reversed(proc.stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            return line
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                return None
     return None
 
 
 def main() -> int:
     if "--child" in sys.argv:
         return _child()
+    if "--child-e2e" in sys.argv:
+        return _child_e2e()
 
-    line = _run_child({})
-    if line is None:
+    dev = _run_child({})
+    if dev is None:
         print(f"# retrying after {COOLDOWN_S}s tunnel cooldown", file=sys.stderr)
         time.sleep(COOLDOWN_S)
-        line = _run_child({"MITOFLEX_DISABLE_PALLAS": "1",
-                           "MITOFLEX_FORCE_PALLAS": "0"})
-    if line is None:
+        dev = _run_child({"MITOFLEX_DISABLE_PALLAS": "1",
+                          "MITOFLEX_FORCE_PALLAS": "0"})
+    if dev is None:
         print("# all device attempts failed; reporting CPU-backend number",
               file=sys.stderr)
         time.sleep(COOLDOWN_S)
-        line = _run_child({"JAX_PLATFORMS": "cpu",
-                           "MITOFLEX_DISABLE_PALLAS": "1"})
-    if line is None:
+        dev = _run_child({"JAX_PLATFORMS": "cpu",
+                          "MITOFLEX_DISABLE_PALLAS": "1"})
+    if dev is None:
         return 1
-    print(line)
+
+    # the e2e child is CPU-only and never touches the device tunnel
+    e2e = _run_child({"JAX_PLATFORMS": "cpu"}, arg="--child-e2e",
+                     timeout=E2E_TIMEOUT_S)
+
+    bases_per_sec = dev["filter_gbase_s"] * 1e9
+    extras = {"kmer_count_mkeys_s": dev.get("kmer_count_mkeys_s")}
+    if e2e and e2e.get("e2e_ok"):
+        extras["e2e_fixture_wall_s"] = e2e["e2e_fixture_wall_s"]
+        extras["e2e_fixture_bases"] = e2e["e2e_fixture_bases"]
+        extras["e2e_vs_ref_golden"] = round(
+            REF_GOLDEN_E2E_S / e2e["e2e_fixture_wall_s"], 2
+        )
+    print(json.dumps({
+        "metric": "filter_device_throughput",
+        "value": round(bases_per_sec / 1e9, 4),
+        "unit": "Gbase/s/chip",
+        "vs_baseline": round(bases_per_sec / BASELINE_BASES_PER_SEC, 2),
+        "extras": extras,
+    }))
     return 0
 
 

@@ -719,6 +719,14 @@ def cyk_banded(
                 bj = int(jlo[v]) + rj
                 bspan = spans[int(model.node_of[v])]
         mdl_from, mdl_to = bspan[0] + 1, bspan[1]
+        # A 3'-truncated hit (the case local ENDs exist for) absorbs the
+        # model suffix through EL, but the begin state's subtree span can't
+        # see that — it would report mdl_to ~= clen. The banded kernel does
+        # no traceback, so when the alignment runs into the window's right
+        # edge, clamp model coverage to the p7 envelope's hmm_to (anchor
+        # p1), which tracked where the profile actually stopped matching.
+        if bj >= L and mdl_to > p1 + 1:
+            mdl_to = p1 + 1
     else:
         root = blocks[0]
         flat = int(np.argmax(root))

@@ -182,6 +182,12 @@ def test_banded_local_truncated_rrna(rng):
     g_score = glo.score if glo is not None else -1e9
     assert loc.score > g_score + 50.0
     assert loc.seq_from >= len(flank) - 3
+    # model coverage must reflect the truncation point, not the begin
+    # state's full consensus subtree: the EL state absorbed the ~30% model
+    # suffix, so mdl_to is clamped to the envelope's hmm_to (round-1
+    # advisor finding on ops/cyk.py local mdl_to)
+    assert loc.mdl_to <= keep, (loc.mdl_to, keep, m.clen)
+    assert loc.mdl_to > int(m.clen * 0.5)
 
 
 def test_banded_matches_exact_on_trna(lys_model, rng):
