@@ -179,15 +179,149 @@ class CykAlignment:
 
 def _emit_single_scores(model, window):
     """esc[v, t] for single-emitting states over window residues."""
-    S_, L = model.n_states, len(window)
-    esc = np.full((S_, L), NEG, np.float32)
-    ok = window < 4
-    idx = np.clip(window, 0, 3)
-    for v in range(S_):
-        st = model.stype[v]
-        if st in (ML, MR, IL, IR):
-            esc[v, ok] = model.emit_single[v, idx[ok]]
+    return _emit_single_scores_batch(model, window[None, :])[:, 0]
+
+
+def _emit_single_scores_batch(model, windows):
+    """esc[v, b, t] for single-emitting states over batched window residues
+    (``windows`` is [B, L] int codes, 4 = invalid/pad)."""
+    S_ = model.n_states
+    Bn, L = windows.shape
+    esc = np.full((S_, Bn, L), NEG, np.float32)
+    ok = windows < 4
+    idx = np.clip(windows, 0, 3)
+    single = np.isin(model.stype, (ML, MR, IL, IR))
+    # [S_sel, B, L] lookup, masked to valid residues
+    vals = model.emit_single[single][:, idx]          # [S_sel, B, L]
+    esc[single] = np.where(ok[None], vals, NEG)
     return esc
+
+
+def _cyk_fill(model, windows, real_len, local):
+    """Batched exact CYK fill: ``windows`` [B, L] padded with code 4.
+
+    Returns (alpha [Sn, B, L+1, L+1], esc, el_deck, lc). Arithmetic is
+    identical to the former per-window loop — each op just carries a
+    leading batch axis — so tracebacks reconstruct bit-identical paths."""
+    Bn, L = windows.shape
+    Sn = model.n_states
+    esc = _emit_single_scores_batch(model, windows)
+    ok = windows < 4
+    widx = np.clip(windows, 0, 3)
+
+    lc = cm_models.local_config(model) if local else None
+    el_deck = None
+    if local:
+        bb = np.arange(L + 1)
+        # EL absorbs span residues at el_selfsc bits each — only within
+        # the REAL window (padding must not be absorbable)
+        el_deck = np.where(
+            (bb[None, None, :] >= bb[None, :, None])
+            & (bb[None, None, :] <= real_len[:, None, None]),
+            (bb[None, None, :] - bb[None, :, None]) * lc.el_selfsc,
+            NEG,
+        ).astype(np.float32)                           # [B, L+1, L+1]
+
+    alpha = np.full((Sn, Bn, L + 1, L + 1), NEG, np.float32)
+
+    stype = model.stype
+    cfirst = model.cfirst
+    cnum = model.cnum
+    trans = model.trans
+
+    # E deck: empty span anywhere inside the real window
+    ediag = np.full((Bn, L + 1, L + 1), NEG, np.float32)
+    dd = np.arange(L + 1)
+    for b in range(Bn):
+        ediag[b, dd[: real_len[b] + 1], dd[: real_len[b] + 1]] = 0.0
+
+    def children(v):
+        return list(range(cfirst[v], cfirst[v] + cnum[v]))
+
+    if local:
+        el_sub = el_deck[:, 1:, :L]                    # shared MP-shift view
+    pair_ok = ok[:, :, None] & ok[:, None, :]          # [B, L, L]
+    scratch = np.empty((Bn, L, L + 1), np.float32)     # ML/IL child temp
+
+    for v in range(Sn - 1, -1, -1):
+        st = stype[v]
+        if st == E:
+            alpha[v] = ediag
+            continue
+        if st == B:
+            al, ar = alpha[int(cfirst[v])], alpha[int(cnum[v])]
+            # max-plus product over the split point, one window at a time
+            # (a batched [B, L+1, L+1, L+1] temp thrashes caches)
+            for b in range(Bn):
+                np.max(al[b, :, :, None] + ar[b, None, :, :], axis=1,
+                       out=alpha[v, b])
+            continue
+        kids = children(v)
+        ts = trans[v]
+        if local:
+            ts = ts + lc.trans_adj[v]
+        # all writes land directly in alpha[v]; NEG-init then region maxes
+        base = alpha[v]
+        base.fill(NEG)
+        self_t = None
+        for ci, c in enumerate(kids):
+            if c == v:
+                self_t = float(ts[ci])
+                continue
+            if st in (S, D):
+                np.maximum(base, alpha[c] + ts[ci], out=base)
+            elif st in (ML, IL):
+                np.add(alpha[c][:, 1:, :], ts[ci], out=scratch)
+                np.maximum(base[:, :L, :], scratch, out=base[:, :L, :])
+            elif st in (MR, IR):
+                sc = scratch.reshape(Bn, L + 1, L)
+                np.add(alpha[c][:, :, :L], ts[ci], out=sc)
+                np.maximum(base[:, :, 1:], sc, out=base[:, :, 1:])
+            elif st == MP:
+                sc = scratch[:, :, :L]
+                np.add(alpha[c][:, 1:, :L], ts[ci], out=sc)
+                np.maximum(base[:, :L, 1:], sc, out=base[:, :L, 1:])
+        if local and lc.end_sc[v] > NEG / 2:
+            # local end: an extra pseudo-child EL whose deck scores the
+            # remaining span at el_selfsc bits per residue
+            t_el = float(lc.end_sc[v])
+            if st in (S, D):
+                np.maximum(base, el_deck + t_el, out=base)
+            elif st in (ML, IL):
+                np.maximum(base[:, :L, :], el_deck[:, 1:, :] + t_el,
+                           out=base[:, :L, :])
+            elif st in (MR, IR):
+                np.maximum(base[:, :, 1:], el_deck[:, :, :L] + t_el,
+                           out=base[:, :, 1:])
+            else:  # MP
+                np.maximum(base[:, :L, 1:], el_sub + t_el,
+                           out=base[:, :L, 1:])
+        # add emissions in place; rows/cols that can't emit drop to NEG
+        if st in (ML, IL):
+            base[:, :L, :] += esc[v][:, :, None]
+            base[:, L, :] = NEG
+        elif st in (MR, IR):
+            base[:, :, 1:] += esc[v][:, None, :]
+            base[:, :, 0] = NEG
+        elif st == MP:
+            pair_scores = model.emit_pair[v].reshape(4, 4)
+            base[:, :L, 1:] += np.where(
+                pair_ok, pair_scores[widx[:, :, None], widx[:, None, :]], NEG
+            )
+            base[:, L, :] = NEG
+            base[:, :, 0] = NEG
+        # self loops (IL along i descending, IR along j ascending)
+        if self_t is not None:
+            if st == IL:
+                for i in range(L - 1, -1, -1):
+                    cand = esc[v, :, i, None] + self_t + base[:, i + 1, :]
+                    np.maximum(base[:, i, :], cand, out=base[:, i, :])
+            elif st == IR:
+                for j in range(1, L + 1):
+                    cand = esc[v, :, j - 1, None] + self_t + base[:, :, j - 1]
+                    np.maximum(base[:, :, j], cand, out=base[:, :, j])
+        np.clip(base, NEG, None, out=base)
+    return alpha, esc, el_deck, lc
 
 
 def cyk_align(
@@ -207,139 +341,94 @@ def cyk_align(
     instead of a ruinous delete chain. Glocal (default) is kept for the
     tRNA path, whose anticodon validation needs the full cloverleaf
     traceback."""
-    L = len(window)
+    return cyk_align_many(model, [np.asarray(window)], local=local)[0]
+
+
+def cyk_align_many(
+    model: cm_models.CovarianceModel,
+    windows: List[np.ndarray],
+    local: bool = False,
+    max_batch_bytes: int = 256 << 20,
+) -> List[Optional[CykAlignment]]:
+    """Exact CYK over a BATCH of windows for one model (VERDICT round-1
+    #9: the per-envelope tRNA CYK calls were the annotate stage's serial
+    host hot spot). All span decks gain a leading batch axis, so the
+    ~2*Sn-step Python state loop runs once per batch instead of once per
+    window; tracebacks stay per-window on each window's own deck slice.
+    Windows of different lengths are padded with the invalid code 4
+    (unemittable -> scores and spans are unaffected)."""
+    if not windows:
+        return []
     Sn = model.n_states
-    esc = _emit_single_scores(model, window)
-    ok = window < 4
-    widx = np.clip(window, 0, 3)
+    lens = np.array([len(w) for w in windows], np.int64)
+    L = int(lens.max())
+    # cap batch so alpha [Sn, B, L+1, L+1] stays bounded
+    per = Sn * (L + 1) * (L + 1) * 4
+    chunk = max(1, int(max_batch_bytes // max(per, 1)))
+    out: List[Optional[CykAlignment]] = []
+    for s in range(0, len(windows), chunk):
+        out.extend(_cyk_align_chunk(model, windows[s : s + chunk], local))
+    return out
 
-    lc = cm_models.local_config(model) if local else None
-    el_deck = None
-    if local:
-        bb = np.arange(L + 1)
-        el_deck = np.where(
-            bb[None, :] >= bb[:, None],
-            (bb[None, :] - bb[:, None]) * lc.el_selfsc,
-            NEG,
-        ).astype(np.float32)
 
-    alpha = np.full((Sn, L + 1, L + 1), NEG, np.float32)
-    iu = np.triu_indices(L + 1)  # valid spans i <= j
+def _cyk_align_chunk(model, windows, local):
+    Bn = len(windows)
+    lens = np.array([len(w) for w in windows], np.int64)
+    L = int(lens.max())
+    wins = np.full((Bn, L), 4, np.int64)
+    for b, w in enumerate(windows):
+        wins[b, : len(w)] = w
+    alpha, esc, el_deck, lc = _cyk_fill(model, wins, lens, local)
+    Sn = model.n_states
+    results: List[Optional[CykAlignment]] = []
+    for b in range(Bn):
+        Lb = int(lens[b])
+        # restrict the readout to spans inside the real window
+        sub = alpha[:, b, : Lb + 1, : Lb + 1]
+        if local:
+            # local begins: the parse attaches at the best-scoring
+            # candidate state instead of the ROOT_S deck
+            best, bv, bi, bj = NEG, 0, 0, 0
+            for v in range(Sn):
+                bsc = float(lc.begin_sc[v])
+                if bsc <= NEG / 2:
+                    continue
+                flat = int(np.argmax(sub[v]))
+                i, j = divmod(flat, Lb + 1)
+                val = float(sub[v][i, j]) + bsc
+                if val > best:
+                    best, bv, bi, bj = val, v, i, j
+        else:
+            bv = 0
+            flat = np.argmax(sub[0])
+            bi, bj = divmod(int(flat), Lb + 1)
+            best = float(sub[0][bi, bj])
+        if best < NEG / 2 or bj <= bi:
+            results.append(None)
+            continue
+        results.append(
+            _traceback(
+                model, wins[b, :Lb], alpha[:, b], esc[:, b],
+                el_deck[b] if el_deck is not None else None,
+                lc, local, best, bv, bi, bj,
+            )
+        )
+    return results
 
+
+def _traceback(model, window, alpha, esc, el_deck, lc, local,
+               best, bv, bi, bj) -> CykAlignment:
+    """Reconstruct the winning parse from a filled deck (single window)."""
+    L = len(window)
     stype = model.stype
     cfirst = model.cfirst
     cnum = model.cnum
     trans = model.trans
+    ok = window < 4
+    widx = np.clip(window, 0, 3)
 
     def children(v):
         return list(range(cfirst[v], cfirst[v] + cnum[v]))
-
-    for v in range(Sn - 1, -1, -1):
-        st = stype[v]
-        if st == E:
-            a = np.full((L + 1, L + 1), NEG, np.float32)
-            np.fill_diagonal(a, 0.0)
-            alpha[v] = a
-            continue
-        if st == B:
-            al, ar = alpha[int(cfirst[v])], alpha[int(cnum[v])]
-            # max-plus product over the split point
-            a = (al[:, :, None] + ar[None, :, :]).max(axis=1)
-            alpha[v] = a
-            continue
-        kids = children(v)
-        ts = trans[v]
-        if local:
-            ts = ts + lc.trans_adj[v]
-        base = np.full((L + 1, L + 1), NEG, np.float32)
-        self_t = None
-        for ci, c in enumerate(kids):
-            if c == v:
-                self_t = float(ts[ci])
-                continue
-            if st in (S, D):
-                cand = alpha[c] + ts[ci]
-            elif st in (ML, IL):
-                cand = np.full((L + 1, L + 1), NEG, np.float32)
-                cand[:L, :] = alpha[c][1:, :] + ts[ci]
-            elif st in (MR, IR):
-                cand = np.full((L + 1, L + 1), NEG, np.float32)
-                cand[:, 1:] = alpha[c][:, :L] + ts[ci]
-            elif st == MP:
-                cand = np.full((L + 1, L + 1), NEG, np.float32)
-                cand[:L, 1:] = alpha[c][1:, :L] + ts[ci]
-            np.maximum(base, cand, out=base)
-        if local and lc.end_sc[v] > NEG / 2:
-            # local end: an extra pseudo-child EL whose deck scores the
-            # remaining span at el_selfsc bits per residue
-            t_el = float(lc.end_sc[v])
-            if st in (S, D):
-                cand = el_deck + t_el
-            elif st in (ML, IL):
-                cand = np.full((L + 1, L + 1), NEG, np.float32)
-                cand[:L, :] = el_deck[1:, :] + t_el
-            elif st in (MR, IR):
-                cand = np.full((L + 1, L + 1), NEG, np.float32)
-                cand[:, 1:] = el_deck[:, :L] + t_el
-            else:  # MP
-                cand = np.full((L + 1, L + 1), NEG, np.float32)
-                cand[:L, 1:] = el_deck[1:, :L] + t_el
-            np.maximum(base, cand, out=base)
-        # add emissions
-        if st in (ML, IL):
-            em = np.full((L + 1, 1), NEG, np.float32)
-            em[:L, 0] = esc[v]
-            base = base + em
-        elif st in (MR, IR):
-            em = np.full((1, L + 1), NEG, np.float32)
-            em[0, 1:] = esc[v]
-            base = base + em
-        elif st == MP:
-            em = np.full((L + 1, L + 1), NEG, np.float32)
-            pair_scores = model.emit_pair[v].reshape(4, 4)
-            for i in range(L):
-                if not ok[i]:
-                    continue
-                js = np.arange(1, L + 1)
-                valid_j = ok[js - 1]
-                em[i, js[valid_j]] = pair_scores[widx[i], widx[js[valid_j] - 1]]
-            base = base + em
-        # self loops (IL along i descending, IR along j ascending)
-        if self_t is not None:
-            if st == IL:
-                for i in range(L - 1, -1, -1):
-                    cand = esc[v, i] + self_t + base[i + 1, :]
-                    base[i, :] = np.maximum(base[i, :], cand)
-            elif st == IR:
-                for j in range(1, L + 1):
-                    cand = esc[v, j - 1] + self_t + base[:, j - 1]
-                    base[:, j] = np.maximum(base[:, j], cand)
-        np.clip(base, NEG, None, out=base)
-        alpha[v] = base
-
-    if local:
-        # local begins: the parse attaches at the best-scoring candidate
-        # state instead of the ROOT_S deck
-        best, bv, bi, bj = NEG, 0, 0, 0
-        for v in range(Sn):
-            bsc = float(lc.begin_sc[v])
-            if bsc <= NEG / 2:
-                continue
-            flat = int(np.argmax(alpha[v]))
-            i, j = divmod(flat, L + 1)
-            val = float(alpha[v][i, j]) + bsc
-            if val > best:
-                best, bv, bi, bj = val, v, i, j
-    else:
-        bv = 0
-        root = alpha[0]
-        flat = np.argmax(root)
-        bi, bj = divmod(int(flat), L + 1)
-        best = float(root[bi, bj])
-    if best < NEG / 2 or bj <= bi:
-        return None
-
-    # ------------------------------------------------------- traceback
     layout = consensus_layout(model)
     residue_of_pos: Dict[int, int] = {}
     deleted: set = set()

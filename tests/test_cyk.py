@@ -92,6 +92,34 @@ def test_trna_search_on_embedded_trna(lys_model, rng):
     assert found_m["K"].span() == (301, 300 + len(trna))
 
 
+@needs_ref
+def test_cyk_align_many_matches_singles(lys_model, rng):
+    """The batched fill (one leading batch axis over all envelope windows,
+    VERDICT round-1 #9) reproduces the per-window results exactly —
+    including mixed lengths (padding uses the unemittable code 4)."""
+    lay = cyk.consensus_layout(lys_model)
+    cons = lay.cons.upper().replace("U", "T")
+    mut = list(cons)
+    for i in (0, 5, 40, len(mut) - 2):
+        mut[i] = "ACGT"[("ACGT".index(mut[i]) + 2) % 4]
+    windows = [
+        np.asarray(encoding.encode("ACGT" + cons + "TTAA")),
+        np.asarray(encoding.encode(cons[:40])),           # truncated
+        np.asarray(encoding.encode("".join(mut))),        # mutated
+        np.asarray(encoding.encode("ACGT" * 12)),         # junk
+    ]
+    for local in (False, True):
+        batch = cyk.cyk_align_many(lys_model, windows, local=local)
+        singles = [cyk.cyk_align(lys_model, w, local=local) for w in windows]
+        for b, s in zip(batch, singles):
+            assert (b is None) == (s is None)
+            if b is not None:
+                assert abs(b.score - s.score) < 1e-4
+                assert (b.seq_from, b.seq_to) == (s.seq_from, s.seq_to)
+                assert b.aligned_seq == s.aligned_seq
+                assert b.aligned_fold == s.aligned_fold
+
+
 RRNA_DIR = "/root/reference/profile/rRNA_CM"
 
 
