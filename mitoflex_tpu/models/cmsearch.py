@@ -306,6 +306,27 @@ def trna_search(
     return query_dict, missing
 
 
+def _banded_backend():
+    """Pick the banded-CYK implementation: the compiled device scan
+    (ops/cyk_device.py) on an accelerator, the host-numpy kernel on CPU
+    (where the per-step scan overhead loses to vectorized numpy).
+    MITOFLEX_DEVICE_CYK=1/0 forces either way."""
+    import os
+
+    flag = os.environ.get("MITOFLEX_DEVICE_CYK")
+    if flag is not None:
+        use_device = flag not in ("0", "false", "")
+    else:
+        import jax
+
+        use_device = jax.default_backend() != "cpu"
+    if use_device:
+        from ..ops.cyk_device import cyk_banded_device
+
+        return cyk_banded_device
+    return cyk_ops.cyk_banded
+
+
 def _cyk_banded_refine(
     model: cm_models.CovarianceModel,
     contig: FastaRecord,
@@ -339,7 +360,7 @@ def _cyk_banded_refine(
         return hit
     anchor = (env0, env1, hit.mdlfrom - 1, hit.mdlto - 1)
     try:
-        aln = cyk_ops.cyk_banded(
+        aln = _banded_backend()(
             model, np.asarray(window), anchor, slack, local=local
         )
     except Exception as e:  # banding is an optimization, never a hard fail
