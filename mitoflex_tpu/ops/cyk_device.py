@@ -54,8 +54,8 @@ _DEAD = -3.0e4          # clipped self-loop step for invalid residues
 
 def _kernel(n_scan: int, W: int, R: int):
     """Build the jitted scan kernel for (state count, band width, one-hot
-    rows). Cached per shape — band width and CM size are the only shape
-    parameters; window length only affects masks (traced scalar)."""
+    rows). Cached per shape — the one-hot row count R is bucketed to 512
+    so window length only affects masks (traced scalar), not compiles."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -72,11 +72,19 @@ def _kernel(n_scan: int, W: int, R: int):
         return jnp.where(okr[:, None] & okc[None, :], rolled, NEG)
 
     def step(carry, x):
-        deck, OH, VA, L, el_selfsc = carry
+        deck, OHV, L, el_selfsc, oij = carry
+        o_i = oij[:, 0]
+        o_j = oij[:, 1]
+        # band origins are looked up in-kernel from the [S] origin arrays
+        # so the per-state offset tables never cross the host link (the
+        # ~20 per-call array transfers dominated tunneled-TPU latency)
+        oiv = o_i[x["v"]]
+        ojv = o_j[x["v"]]
 
         def b_branch(_):
-            lb = roll_fetch(deck, x["bl"], x["b_dil"], 0)
-            rb = roll_fetch(deck, x["br"], x["b_dir"], x["b_djr"])
+            lb = roll_fetch(deck, x["bl"], oiv - o_i[x["bl"]], 0)
+            rb = roll_fetch(deck, x["br"], o_j[x["bl"]] - o_i[x["br"]],
+                            ojv - o_j[x["br"]])
             return (lb[:, :, None] + rb[None, :, :]).max(axis=1)
 
         def reg_branch(_):
@@ -85,14 +93,15 @@ def _kernel(n_scan: int, W: int, R: int):
             sj = jnp.where((kind == 2) | (kind == 3), 1, 0)
             blk = jnp.full((W, W), NEG, jnp.float32)
             for k in range(MAX_KIDS):
+                c = x["kid"][k]
                 cand = roll_fetch(
-                    deck, x["kid"][k], x["di"][k], x["dj"][k]
+                    deck, c, oiv + si - o_i[c], ojv - sj - o_j[c]
                 ) + x["kid_t"][k]
                 blk = jnp.maximum(blk, cand)
             # local END pseudo-child: EL emits the remaining span at
             # el_selfsc bits per residue (end_sc = NEG disables)
-            el_i = x["o_i"] + si + iota[:, None]
-            el_j = x["o_j"] - sj + iota[None, :]
+            el_i = oiv + si + iota[:, None]
+            el_j = ojv - sj + iota[None, :]
             el = jnp.where(
                 (el_j >= el_i) & (el_i >= 0) & (el_j <= L),
                 (el_j - el_i).astype(jnp.float32) * el_selfsc,
@@ -100,12 +109,12 @@ def _kernel(n_scan: int, W: int, R: int):
             )
             blk = jnp.maximum(blk, el + x["end_sc"])
             # emissions via one-hot matmuls (row i = o_i + r, col j-1 =
-            # o_j + c - 1; OH/VA carry a leading zero row so starts stay
-            # >= 0)
-            ohi = lax.dynamic_slice(OH, (x["o_i"] + 1, 0), (W, 4))
-            vai = lax.dynamic_slice(VA, (x["o_i"] + 1,), (W,))
-            ohj = lax.dynamic_slice(OH, (x["o_j"], 0), (W, 4))
-            vaj = lax.dynamic_slice(VA, (x["o_j"],), (W,))
+            # o_j + c - 1; OHV carries a leading zero row so starts
+            # stay >= 0; column 4 is the residue-validity flag)
+            ohvi = lax.dynamic_slice(OHV, (oiv + 1, 0), (W, 5))
+            ohvj = lax.dynamic_slice(OHV, (ojv, 0), (W, 5))
+            ohi, vai = ohvi[:, :4], ohvi[:, 4] > 0.5
+            ohj, vaj = ohvj[:, :4], ohvj[:, 4] > 0.5
             # one-hot selects single f32 values: force full-precision
             # matmuls (the TPU bf16 default would perturb bit scores)
             hp = partial(jnp.matmul, precision=lax.Precision.HIGHEST)
@@ -142,26 +151,26 @@ def _kernel(n_scan: int, W: int, R: int):
 
         blk = lax.cond(x["is_b"], b_branch, reg_branch, None)
         # span validity: j >= i within the real window
-        ii = x["o_i"] + iota[:, None]
-        jj = x["o_j"] + iota[None, :]
+        ii = oiv + iota[:, None]
+        jj = ojv + iota[None, :]
         valid = (jj >= ii) & (ii <= L) & (jj <= L)
         blk = jnp.where(valid, jnp.maximum(blk, NEG), NEG)
         deck = lax.dynamic_update_slice(deck, blk[None], (x["v"], 0, 0))
-        return (deck, OH, VA, L, el_selfsc), None
+        return (deck, OHV, L, el_selfsc, oij), None
 
     @partial(jax.jit, static_argnames=("Sn",))
-    def run(Sn, e_oi, e_oj, is_e, xs, OH, VA, L, el_selfsc):
+    def run(Sn, oij, is_e, xs, OHV, L, el_selfsc):
         # build the E-initialized deck ON DEVICE — shipping a [S, W, W]
         # host deck through the transfer path costs ~1 s/call at rRNA
         # scale on a tunneled chip, ~100x the compute
-        ii = e_oi[:, None, None] + iota[None, :, None]
-        jj = e_oj[:, None, None] + iota[None, None, :]
+        ii = oij[:, 0, None, None] + iota[None, :, None]
+        jj = oij[:, 1, None, None] + iota[None, None, :]
         deck0 = jnp.where(
             is_e[:, None, None] & (ii == jj) & (jj <= L),
             0.0, NEG,
         ).astype(jnp.float32)
         (deck, *_), _ = lax.scan(
-            step, (deck0, OH, VA, L, el_selfsc), xs, length=n_scan
+            step, (deck0, OHV, L, el_selfsc, oij), xs, length=n_scan,
         )
         flat = deck.reshape(Sn, W * W)
         return flat.max(axis=1), flat.argmax(axis=1)
@@ -200,8 +209,6 @@ def _model_static(model, local):
     cr = span_arr[model.node_of, 1].astype(np.float64)
     is_e = (stype == E).astype(bool)
 
-    shift_i = {S: 0, D: 0, ML: 1, IL: 1, MR: 0, IR: 0, MP: 1}
-    shift_j = {S: 0, D: 0, ML: 0, IL: 0, MR: 1, IR: 1, MP: 1}
     kind_of = {S: 0, D: 0, ML: 1, IL: 1, MR: 2, IR: 2, MP: 3}
 
     order = np.asarray(
@@ -221,8 +228,6 @@ def _model_static(model, local):
         "bl": np.zeros(n, np.int32),
         "br": np.zeros(n, np.int32),
     }
-    si = np.zeros(n, np.int32)
-    sj = np.zeros(n, np.int32)
     for t, v in enumerate(order):
         st = int(stype[v])
         if st == B:
@@ -230,7 +235,6 @@ def _model_static(model, local):
             xs["bl"][t], xs["br"][t] = int(cfirst[v]), int(cnum[v])
             continue
         xs["kind"][t] = kind_of[st]
-        si[t], sj[t] = shift_i[st], shift_j[st]
         slot = 0
         for ci_ in range(int(cnum[v])):
             c = int(cfirst[v]) + ci_
@@ -243,16 +247,22 @@ def _model_static(model, local):
     if local:
         keep = lc.end_sc[order] > NEG / 2
         xs["end_sc"][keep] = lc.end_sc[order][keep]
-    static = dict(xs=xs, si=si, sj=sj, cl=cl, cr=cr, is_e=is_e,
-                  lc=lc, spans=spans, order=order)
+    # park the scan tables on device ONCE — they are reused verbatim by
+    # every call on this model, so they never cross the host link again
+    import jax.numpy as jnp
+
+    xs_dev = {k: jnp.asarray(v) for k, v in xs.items()}
+    static = dict(xs=xs_dev, cl=cl, cr=cr, is_e=jnp.asarray(is_e),
+                  lc=lc, spans=spans, order=order, n_scan=n)
     _STATIC[key] = static
     return static
 
 
 def _precompute(model, window, anchor, slack, local):
-    """Band geometry + scan inputs: cached model tables + vectorized
-    per-call origin math (the per-state Python loop was ~50 ms/call at
-    rRNA scale — half the per-window budget)."""
+    """Band geometry + scan inputs: cached device-resident model tables,
+    vectorized per-call origin math. Only the [S] origin arrays and the
+    window one-hot cross the host link per call — the in-kernel origin
+    lookups reconstruct every alignment offset from them."""
     L = len(window)
     W = 2 * slack + 2
     st = _model_static(model, local)
@@ -266,40 +276,37 @@ def _precompute(model, window, anchor, slack, local):
     o_j = np.clip(np.floor(w0 + (st["cr"] - p0) * rate) - slack,
                   0, omax).astype(np.int32)
 
+    # bifurcation sanity: the roll alignment cannot bridge bands further
+    # apart than the block width (contiguous splits keep offsets tiny;
+    # this can only trip on a degenerate anchor)
     order = st["order"]
-    xs = dict(st["xs"])
-    xs["o_i"] = o_i[order]
-    xs["o_j"] = o_j[order]
-    # child alignment offsets for this anchor
-    di = (o_i[order] + st["si"])[:, None] - o_i[xs["kid"]]
-    dj = (o_j[order] - st["sj"])[:, None] - o_j[xs["kid"]]
-    # disjoint bands -> dead edge (roll wraparound would corrupt scores)
-    live = (np.abs(di) < W) & (np.abs(dj) < W)
-    xs["kid_t"] = np.where(live, xs["kid_t"], NEG)
-    xs["di"] = np.where(live, di, 0).astype(np.int32)
-    xs["dj"] = np.where(live, dj, 0).astype(np.int32)
-    xs["b_dil"] = (o_i[order] - o_i[xs["bl"]]).astype(np.int32)
-    xs["b_dir"] = (o_j[xs["bl"]] - o_i[xs["br"]]).astype(np.int32)
-    xs["b_djr"] = (o_j[order] - o_j[xs["br"]]).astype(np.int32)
-    bb = xs["is_b"]
-    if bb.any() and max(
-        np.abs(xs["b_dil"][bb]).max(), np.abs(xs["b_dir"][bb]).max(),
-        np.abs(xs["b_djr"][bb]).max(),
-    ) >= W:
-        raise ValueError("bifurcation band offset exceeds width")
+    xs = st["xs"]
+    bb = np.asarray(xs["is_b"])
+    if bb.any():
+        bl = np.asarray(xs["bl"])[bb]
+        br = np.asarray(xs["br"])[bb]
+        vb = order[bb]
+        worst = max(
+            np.abs(o_i[vb] - o_i[bl]).max(),
+            np.abs(o_j[bl] - o_i[br]).max(),
+            np.abs(o_j[vb] - o_j[br]).max(),
+        )
+        if worst >= W:
+            raise ValueError("bifurcation band offset exceeds width")
 
-    # one-hot window with a leading zero row (so o_j - 1 + 1 >= 0) and a
-    # zero tail long enough for any in-range dynamic_slice
-    R = L + W + 2
-    OH = np.zeros((R, 4), np.float32)
-    VA = np.zeros(R, bool)
+    # one-hot window with a leading zero row (so o_j - 1 + 1 >= 0), a
+    # validity column, and rows padded to a 512 bucket — R is a SHAPE, so
+    # without bucketing every distinct window length would recompile the
+    # scan (minutes per compile on a tunneled chip)
+    R = W + 2 + 512 * ((L + 511) // 512)
+    OHV = np.zeros((R, 5), np.float32)
     okw = window < 4
-    OH[1 : L + 1][okw] = np.eye(4, dtype=np.float32)[
+    OHV[1 : L + 1, :4][okw] = np.eye(4, dtype=np.float32)[
         np.clip(window[okw], 0, 3)
     ]
-    VA[1 : L + 1] = okw
+    OHV[1 : L + 1, 4] = okw
     el = float(lc.el_selfsc) if local else 0.0
-    return st["is_e"], xs, OH, VA, o_i, o_j, el, lc, st["spans"]
+    return st, xs, OHV, o_i, o_j, el, lc
 
 
 def cyk_banded_device(
@@ -316,17 +323,18 @@ def cyk_banded_device(
     """
     window = np.asarray(window)
     L = len(window)
-    is_e, xs, OH, VA, o_i, o_j, el, lc, spans = _precompute(
+    st, xs, OHV, o_i, o_j, el, lc = _precompute(
         model, window, anchor, slack, local
     )
+    spans = st["spans"]
     W = 2 * slack + 2
-    run = _get_kernel(len(xs["v"]), W, OH.shape[0])
+    run = _get_kernel(st["n_scan"], W, OHV.shape[0])
     import jax.numpy as jnp
 
     m, a = run(
-        model.n_states, jnp.asarray(o_i), jnp.asarray(o_j),
-        jnp.asarray(is_e), {k: jnp.asarray(v) for k, v in xs.items()},
-        jnp.asarray(OH), jnp.asarray(VA),
+        model.n_states,
+        jnp.asarray(np.stack([o_i, o_j], axis=1)),
+        st["is_e"], xs, jnp.asarray(OHV),
         jnp.int32(L), jnp.float32(el),
     )
     m = np.asarray(m)
