@@ -333,6 +333,7 @@ def _cyk_banded_refine(
     hit: CmHit,
     slack: int = 48,
     local: bool = True,
+    search_residues: Optional[float] = None,
 ) -> CmHit:
     """Rescore an rRNA filter hit with the banded CYK; falls back to the
     p7 hit when the bands exclude every parse (e.g. heavily rearranged
@@ -375,9 +376,13 @@ def _cyk_banded_refine(
     else:
         sf = L - (wlo + aln.seq_from)
         st = L - (wlo + aln.seq_to)
-    # E-value from the CM's own cmcalibrate exponential tail when present
-    # (both strands of the contig are the search space)
-    ev = cm_models.cm_evalue(model, float(aln.score), 2.0 * L)
+    # E-value from the CM's own cmcalibrate exponential tail when present.
+    # Z = the same both-strand residue total the p7 filter stage searched
+    # (round-1 advisor: mixing the single contig's 2L here with the
+    # multi-contig database upstream made the two E-value columns
+    # incomparable); fall back to this contig's 2L when standalone.
+    Z = 2.0 * L if search_residues is None else search_residues
+    ev = cm_models.cm_evalue(model, float(aln.score), Z)
     return CmHit(
         sequence=hit.sequence, score=float(aln.score),
         e_value=hit.e_value if ev is None else ev,
@@ -400,6 +405,8 @@ def rrna_search(
         present, contigs, e_threshold=e_value, score_threshold=15.0
     )
     by_id = {c.id: c for c in contigs}
+    # one Z for both stages: the full both-strand search space
+    total_residues = 2.0 * sum(len(c.codes) for c in contigs)
 
     def top(model_key: str) -> Optional[CmHit]:
         hits = all_hits.get(model_key, [])
@@ -408,7 +415,8 @@ def rrna_search(
         best = max(hits, key=lambda h: h.score)
         if cyk_refine:
             best = _cyk_banded_refine(
-                present[model_key], by_id[best.sequence], best
+                present[model_key], by_id[best.sequence], best,
+                search_residues=total_residues,
             )
         return best
 
