@@ -182,14 +182,15 @@ def _refined_hit(
     )
 
 
-def _cyk_refine(
+def cyk_refine_one(
     model: cm_models.CovarianceModel,
     contig: FastaRecord,
     hit: CmHit,
     slack: int = 12,
 ) -> Optional[CmHit]:
-    """Run exact CYK on a window around the filter envelope; returns the
-    refined hit with alignment structure, or None if CYK rejects."""
+    """Single-hit convenience wrapper over the batched path: exact CYK on
+    a window around the filter envelope; returns the refined hit with
+    alignment structure, or None if CYK rejects."""
     win = _refine_window(model, contig, hit, slack)
     if win is None:
         return None
