@@ -192,10 +192,16 @@ _STATIC: dict = {}
 
 
 def _model_static(model, local):
-    """Anchor/window-independent scan tables, cached per (model, mode)."""
+    """Anchor/window-independent scan tables, cached per (model, mode).
+    Keyed by id() with a weakref guard: if the original model was
+    collected and a new one reuses its id, the stale entry is rebuilt
+    instead of silently mis-scoring."""
+    import weakref
+
     key = (id(model), local)
-    if key in _STATIC:
-        return _STATIC[key]
+    hit = _STATIC.get(key)
+    if hit is not None and hit["ref"]() is model:
+        return hit
     Sn = model.n_states
     stype, cfirst, cnum = model.stype, model.cfirst, model.cnum
     trans = model.trans.astype(np.float32)
@@ -253,7 +259,8 @@ def _model_static(model, local):
 
     xs_dev = {k: jnp.asarray(v) for k, v in xs.items()}
     static = dict(xs=xs_dev, cl=cl, cr=cr, is_e=jnp.asarray(is_e),
-                  lc=lc, spans=spans, order=order, n_scan=n)
+                  lc=lc, spans=spans, order=order, n_scan=n,
+                  ref=weakref.ref(model))
     _STATIC[key] = static
     return static
 
