@@ -316,7 +316,7 @@ def _banded_backend():
 
     flag = os.environ.get("MITOFLEX_DEVICE_CYK")
     if flag is not None:
-        use_device = flag not in ("0", "false", "")
+        use_device = flag.strip().lower() not in ("0", "false", "no", "off", "")
     else:
         import jax
 

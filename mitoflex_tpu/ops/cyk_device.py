@@ -261,6 +261,10 @@ def _model_static(model, local):
     static = dict(xs=xs_dev, cl=cl, cr=cr, is_e=jnp.asarray(is_e),
                   lc=lc, spans=spans, order=order, n_scan=n,
                   ref=weakref.ref(model))
+    # sweep entries whose model was collected (they pin device arrays)
+    dead = [k for k, v in _STATIC.items() if v["ref"]() is None]
+    for k in dead:
+        del _STATIC[k]
     _STATIC[key] = static
     return static
 

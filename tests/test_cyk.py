@@ -120,6 +120,32 @@ def test_cyk_align_many_matches_singles(lys_model, rng):
                 assert b.aligned_fold == s.aligned_fold
 
 
+@needs_ref
+def test_cyk_refine_one_matches_batched_path(lys_model, rng):
+    """The single-hit refine wrapper stays in lockstep with the batched
+    trna_search path (same window extraction + CYK + hit mapping)."""
+    from mitoflex_tpu.io.fasta import FastaRecord
+    from mitoflex_tpu.models import cmsearch
+    from tests import synth
+
+    lay = cyk.consensus_layout(lys_model)
+    trna = lay.cons.upper().replace("U", "T")
+    g = synth.random_genome(rng, 400)
+    contig = FastaRecord("c", g[:150] + trna + g[150:])
+    fhit = cmsearch.CmHit(
+        sequence="c", score=30.0, e_value=1e-6,
+        seqfrom=151, seqto=150 + len(trna), plus=True,
+    )
+    one = cmsearch.cyk_refine_one(lys_model, contig, fhit)
+    assert one is not None
+    assert one.span() == (151, 150 + len(trna))
+    # the batched driver finds the identical hit
+    found, _ = cmsearch.trna_search([contig], {"K": lys_model}, gene_code=5)
+    assert "K" in found
+    assert found["K"].span() == one.span()
+    assert abs(found["K"].score - one.score) < 1e-4
+
+
 ENC = {"A": 0, "C": 1, "G": 2, "T": 3, "U": 3}
 
 
