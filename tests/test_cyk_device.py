@@ -26,6 +26,19 @@ def lys_model():
     return load_cm_file(os.path.join(TRNA_DIR, "Metazoa_K.cm"))[0]
 
 
+@pytest.mark.parametrize("flag,device", [
+    ("0", False), ("false", False), ("False", False), ("no", False),
+    ("off", False), ("", False), ("1", True), ("true", True), ("ON", True),
+])
+def test_banded_backend_env_override(monkeypatch, flag, device):
+    from mitoflex_tpu.models.cmsearch import _banded_backend
+
+    monkeypatch.setenv("MITOFLEX_DEVICE_CYK", flag)
+    fn = _banded_backend()
+    assert (fn is cyk_banded_device) == device
+    assert (fn is cyk.cyk_banded) == (not device)
+
+
 @needs_ref
 @pytest.mark.parametrize("slack", [8, 48])
 @pytest.mark.parametrize("local", [False, True])
@@ -75,6 +88,23 @@ def test_device_window_with_n_residues(lys_model):
     assert d is not None and e is not None
     assert d.score <= e.score + 1e-3
     assert d.score > 10.0
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(RRNA_DIR), reason="rRNA CMs unavailable")
+def test_device_16s_scale(rng):
+    """16s (5089 states, CLEN 1630) — the largest CM in the profile set
+    compiles its own kernel shape and matches the numpy kernel."""
+    m = load_cm_file(os.path.join(RRNA_DIR, "16s.cm"))[0]
+    cons = m.consensus().upper().replace("U", "T")
+    flank = "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
+    window = np.asarray(encoding.encode(flank + cons + flank))
+    anchor = (60, 60 + len(cons) - 1, 0, m.clen - 1)
+    d = cyk_banded_device(m, window, anchor, slack=48, local=True)
+    n = cyk.cyk_banded(m, window, anchor, slack=48, local=True)
+    assert d is not None and n is not None
+    assert abs(d.score - n.score) < 0.05
+    assert (d.seq_from, d.seq_to) == (n.seq_from, n.seq_to)
 
 
 @pytest.mark.skipif(not os.path.exists(RRNA_DIR), reason="rRNA CMs unavailable")
