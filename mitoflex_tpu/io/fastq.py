@@ -55,6 +55,24 @@ class ReadBatch:
     def total_bases(self) -> int:
         return int(self.lengths[: self.count].sum())
 
+    def shrink(self, floor: int = 256) -> "ReadBatch":
+        """Right-size a partial batch: slice the row axis down to the
+        power-of-two bucket holding ``count`` (>= floor). Tail batches of a
+        stream otherwise run every downstream device kernel (filter, k-mer
+        count, mapper joins) at full chunk width — on small inputs that is
+        2-4x wasted compute. Pow2 bucketing keeps the set of compiled
+        shapes logarithmic; a full batch returns itself unchanged."""
+        cap = self.capacity
+        m = floor
+        while m < self.count:
+            m <<= 1
+        if m >= cap:
+            return self
+        return ReadBatch(
+            self.seqs[:m], self.quals[:m], self.lengths[:m], self.count,
+            self.names,
+        )
+
 
 class FastqStream:
     """Iterate a FASTQ file (gz or plain) as raw (name, seq, qual) byte
@@ -115,7 +133,8 @@ def read_batches(
     if byte_range is None:
         native = _try_native_batches(path, batch_reads, max_read_len, keep_names, limit_bases)
         if native is not None:
-            yield from native
+            for b in native:
+                yield b.shrink()
             return
     seqs = np.full((batch_reads, max_read_len), encoding.N, dtype=np.int8)
     quals = np.zeros((batch_reads, max_read_len), dtype=np.int8)
@@ -142,7 +161,7 @@ def read_batches(
             names = []
             i = 0
     if i:
-        yield ReadBatch(seqs, quals, lengths, i, names if keep_names else None)
+        yield ReadBatch(seqs, quals, lengths, i, names if keep_names else None).shrink()
 
 
 def read_pair_batches(
@@ -205,8 +224,8 @@ def read_pair_batches(
             i = 0
     if i:
         yield (
-            ReadBatch(s1, q1, l1, i, n1 if keep_names else None),
-            ReadBatch(s2, q2, l2, i, n2 if keep_names else None),
+            ReadBatch(s1, q1, l1, i, n1 if keep_names else None).shrink(),
+            ReadBatch(s2, q2, l2, i, n2 if keep_names else None).shrink(),
         )
 
 
