@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -94,9 +94,13 @@ class ContigIndex:
 @dataclass
 class MappedBatch:
     contig: np.ndarray     # [B] int32, -1 = unmapped
-    pos: np.ndarray        # [B] int32 leftmost ref position (0-based)
+    pos: np.ndarray        # [B] int32 leftmost ref position (0-based, clamped >= 0)
     strand: np.ndarray     # [B] int8 (+1/-1)
     votes: np.ndarray      # [B] int32 supporting seeds
+    # unclamped leftmost position: negative when the read overhangs the
+    # contig's 5' end (drives the left-end local extension); equals ``pos``
+    # otherwise
+    raw_pos: Optional[np.ndarray] = None
 
 
 def _last_valid_fill(has: jax.Array, *vals: jax.Array):
@@ -268,17 +272,21 @@ def _map_device(
     diag = jnp.sum(jnp.where(sel, diag_s, 0), axis=1)
     ok = jnp.logical_and(best_votes >= min_votes, best_votes > second_votes)
     contig = jnp.where(ok, contig, -1)
+    raw = diag          # may be negative: read overhangs the contig 5' end
     diag = jnp.maximum(diag, 0)
 
     c_f, c_r = contig[:B], contig[B:]
     p_f, p_r = diag[:B], diag[B:]
+    r_f, r_r = raw[:B], raw[B:]
     v_f, v_r = best_votes[:B], best_votes[B:]
     use_r = v_r > v_f
     contig = jnp.where(use_r, c_r, c_f)
     pos = jnp.where(use_r, p_r, p_f)
+    raw = jnp.where(use_r, r_r, r_f)
     votes = jnp.where(use_r, v_r, v_f)
     strand = jnp.where(use_r, jnp.int8(-1), jnp.int8(1))
-    return contig.astype(jnp.int32), pos.astype(jnp.int32), strand, votes.astype(jnp.int32)
+    return (contig.astype(jnp.int32), pos.astype(jnp.int32), strand,
+            votes.astype(jnp.int32), raw.astype(jnp.int32))
 
 
 def map_batch(
@@ -294,14 +302,16 @@ def map_batch(
         return MappedBatch(
             np.full(B, -1, np.int32), np.zeros(B, np.int32),
             np.ones(B, np.int8), np.zeros(B, np.int32),
+            np.zeros(B, np.int32),
         )
-    contig, pos, strand, votes = _map_device(
+    contig, pos, strand, votes, raw = _map_device(
         index.keys, index.contig_of, index.pos_of,
         jnp.asarray(seqs), jnp.asarray(lengths),
         min_votes, sample_step, max_key_mult,
     )
     return MappedBatch(
-        np.asarray(contig), np.asarray(pos), np.asarray(strand), np.asarray(votes)
+        np.asarray(contig), np.asarray(pos), np.asarray(strand),
+        np.asarray(votes), np.asarray(raw),
     )
 
 

@@ -259,7 +259,7 @@ def map_reads_sharded(
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=(P("data", None), P("data")),
-        out_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P("data"),) * 5,
         # replicated index + sharded reads mix in the join sorts
         check_vma=False,
     )(seqs, lengths)

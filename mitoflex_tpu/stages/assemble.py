@@ -401,22 +401,42 @@ def assemble_k(
     return contigs, bubbles
 
 
-def _extend_right(
+def _consensus_walk(
+    v: np.ndarray, min_support: int, consensus_frac: float, max_ext: int
+) -> str:
+    """Extension string from a [max_ext, 4] vote matrix: grow while a
+    clear consensus with enough support exists."""
+    total = v.sum(axis=1)
+    best = v.max(axis=1)
+    ext_len = 0
+    for off in range(max_ext):
+        if total[off] >= min_support and best[off] >= consensus_frac * total[off]:
+            ext_len = off + 1
+        else:
+            break
+    return "".join("ACGT"[int(v[o].argmax())] for o in range(ext_len))
+
+
+def _extend_ends(
     contigs: List[Contig],
     read_source,
     min_support: int,
     consensus_frac: float,
     max_ext: int,
 ) -> Tuple[List[Contig], bool]:
-    """One right-end extension pass: reads whose alignment overhangs a
-    contig's 3' end vote on the bases beyond it; the end grows while a
-    clear consensus with enough support exists."""
+    """One extension pass over BOTH contig ends from a SINGLE read-mapping
+    sweep: reads whose alignment overhangs a contig's 3' end vote on the
+    bases beyond it; reads overhanging the 5' end (negative unclamped
+    mapping start, MappedBatch.raw_pos) vote on the bases before it.
+    Left votes accumulate in reverse-complement coordinates so the same
+    consensus walk serves both ends."""
     from ..io.fasta import FastaRecord
     from ..ops import mapper as mapper_ops
 
     recs = [FastaRecord(f"le{j}", c.seq) for j, c in enumerate(contigs)]
     index = mapper_ops.ContigIndex.build(recs)
-    votes = [np.zeros((max_ext, 4), np.int32) for _ in contigs]
+    votes_r = [np.zeros((max_ext, 4), np.int32) for _ in contigs]
+    votes_l = [np.zeros((max_ext, 4), np.int32) for _ in contigs]
     for seqs, lengths in read_source():
         m = mapper_ops.map_batch(index, seqs, lengths, min_votes=2)
         sel = np.nonzero(m.contig >= 0)[0]
@@ -429,27 +449,28 @@ def _extend_right(
             row = seqs[b, :Lr] if m.strand[b] == 1 else np.asarray(
                 encoding.revcomp(seqs[b, :Lr])
             )
-            start = int(m.pos[b])
+            start = int(m.raw_pos[b])
             right_over = start + Lr - clen
             if 0 < right_over <= max_ext + Lr:
                 over = row[Lr - right_over :][:max_ext]
                 ok = over < 4
-                np.add.at(votes[ci], (np.nonzero(ok)[0], over[ok]), 1)
+                np.add.at(votes_r[ci], (np.nonzero(ok)[0], over[ok]), 1)
+            left_over = -start
+            if 0 < left_over <= max_ext + Lr:
+                # row[j] sits at contig coord start+j; revcomp of the
+                # overhanging prefix puts the base at coord -1 first —
+                # right-extension coordinates of the revcomp'd contig
+                over = np.asarray(encoding.revcomp(row[:left_over]))[:max_ext]
+                ok = over < 4
+                np.add.at(votes_l[ci], (np.nonzero(ok)[0], over[ok]), 1)
     changed = False
     out = []
     for ci, c in enumerate(contigs):
-        v = votes[ci]
-        total = v.sum(axis=1)
-        best = v.max(axis=1)
-        ext_len = 0
-        for off in range(max_ext):
-            if total[off] >= min_support and best[off] >= consensus_frac * total[off]:
-                ext_len = off + 1
-            else:
-                break
-        if ext_len:
-            ext = "".join("ACGT"[int(v[o].argmax())] for o in range(ext_len))
-            out.append(Contig(c.seq + ext, c.depth, c.circular))
+        ext_r = _consensus_walk(votes_r[ci], min_support, consensus_frac, max_ext)
+        ext_l_rc = _consensus_walk(votes_l[ci], min_support, consensus_frac, max_ext)
+        if ext_r or ext_l_rc:
+            left = encoding.revcomp_str(ext_l_rc) if ext_l_rc else ""
+            out.append(Contig(left + c.seq + ext_r, c.depth, c.circular))
             changed = True
         else:
             out.append(c)
@@ -467,23 +488,16 @@ def local_extend(
     """Local assembly of contig ends (megahit `local` analog,
     assemble_wrapper.py:298-304): reads mapping near a dead end vote on
     the bases beyond it; ends are extended while a clear consensus with
-    enough support exists. BOTH ends grow: the 5' end is extended by
-    running the same right-end pass on the reverse-complemented contigs
-    (megahit local extends both gap flanks). Recovers sequence dropped at
-    chunk/depth boundaries and helps neighboring contigs reach overlap
-    length."""
-    from ..io import encoding as enc
-
+    enough support exists. BOTH ends grow from one mapping sweep per
+    round (megahit local extends both gap flanks): 3' overhangs vote
+    directly, 5' overhangs via the unclamped mapping start. Recovers
+    sequence dropped at chunk/depth boundaries and helps neighboring
+    contigs reach overlap length."""
     for _ in range(max_rounds):
-        contigs, ch_r = _extend_right(
+        contigs, changed = _extend_ends(
             contigs, read_source, min_support, consensus_frac, max_ext_per_round
         )
-        rc = [Contig(enc.revcomp_str(c.seq), c.depth, c.circular) for c in contigs]
-        rc, ch_l = _extend_right(
-            rc, read_source, min_support, consensus_frac, max_ext_per_round
-        )
-        contigs = [Contig(enc.revcomp_str(c.seq), c.depth, c.circular) for c in rc]
-        if not (ch_r or ch_l):
+        if not changed:
             break
     return contigs
 

@@ -215,7 +215,7 @@ def bench_mapper(B=65536, L=100, n_contigs=8, contig_len=18000):
         @jax.jit
         def run(seed):
             def body(i, acc):
-                contig, pos, strand, votes = M._map_device(
+                contig, pos, strand, votes, _raw = M._map_device(
                     index.keys, index.contig_of, index.pos_of,
                     ds ^ ((i + seed) & 3).astype(jnp.int8), dl,
                 )

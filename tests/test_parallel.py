@@ -97,13 +97,14 @@ def test_sharded_mapper_matches_single(mesh8, rng):
         s = int(rng.integers(0, len(g) - L))
         seqs[i] = encoding.encode(g[s : s + L].encode())
     ds, dl = mesh_mod.shard_batch(mesh8, jnp.asarray(seqs), jnp.asarray(lengths))
-    c_s, p_s, st_s, v_s = mesh_mod.map_reads_sharded(
+    c_s, p_s, st_s, v_s, r_s = mesh_mod.map_reads_sharded(
         mesh8, index.keys, index.contig_of, index.pos_of, ds, dl
     )
     want = mapper_ops.map_batch(index, seqs, lengths, min_votes=2)
     np.testing.assert_array_equal(np.asarray(c_s), want.contig)
     np.testing.assert_array_equal(np.asarray(p_s), want.pos)
     np.testing.assert_array_equal(np.asarray(st_s), want.strand)
+    np.testing.assert_array_equal(np.asarray(r_s), want.raw_pos)
 
 
 def test_sharded_sw_matches_single(mesh8, rng):
