@@ -68,9 +68,12 @@ class ReadBatch:
             m <<= 1
         if m >= cap:
             return self
+        # Copy the slices: numpy views would pin the full-capacity buffers
+        # (~16 MB/batch at defaults) alive for as long as the shrunk batch
+        # is referenced, and prefetch pipelines hold several batches.
         return ReadBatch(
-            self.seqs[:m], self.quals[:m], self.lengths[:m], self.count,
-            self.names,
+            self.seqs[:m].copy(), self.quals[:m].copy(),
+            self.lengths[:m].copy(), self.count, self.names,
         )
 
 

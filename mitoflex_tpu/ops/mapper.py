@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -99,8 +99,9 @@ class MappedBatch:
     votes: np.ndarray      # [B] int32 supporting seeds
     # unclamped leftmost position: negative when the read overhangs the
     # contig's 5' end (drives the left-end local extension); equals ``pos``
-    # otherwise
-    raw_pos: Optional[np.ndarray] = None
+    # otherwise. Required — consumers (stages/assemble._extend_ends)
+    # index it unconditionally.
+    raw_pos: np.ndarray
 
 
 def _last_valid_fill(has: jax.Array, *vals: jax.Array):

@@ -450,13 +450,15 @@ def _extend_ends(
                 encoding.revcomp(seqs[b, :Lr])
             )
             start = int(m.raw_pos[b])
+            # Mapper bound: a mapped read's diagonal satisfies
+            # -(Lr-K) < start < clen, so either overhang is < Lr.
             right_over = start + Lr - clen
-            if 0 < right_over <= max_ext + Lr:
+            if 0 < right_over < Lr:
                 over = row[Lr - right_over :][:max_ext]
                 ok = over < 4
                 np.add.at(votes_r[ci], (np.nonzero(ok)[0], over[ok]), 1)
             left_over = -start
-            if 0 < left_over <= max_ext + Lr:
+            if 0 < left_over < Lr:
                 # row[j] sits at contig coord start+j; revcomp of the
                 # overhanging prefix puts the base at coord -1 first —
                 # right-extension coordinates of the revcomp'd contig

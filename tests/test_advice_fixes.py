@@ -118,3 +118,35 @@ def test_pallas_sort_tiny_chunk(monkeypatch, rng):
         K.count_chunk_runs.clear_cache()
     np.testing.assert_array_equal(keys, base_keys)
     np.testing.assert_array_equal(counts, base_counts)
+
+
+# --- Round-2 advisor findings ---
+
+
+def test_mapped_batch_raw_pos_required():
+    """MappedBatch.raw_pos is a required field (round-2 advice #1): a
+    construction omitting it must fail instead of producing a batch that
+    crashes _extend_ends later."""
+    from mitoflex_tpu.ops.mapper import MappedBatch
+
+    with pytest.raises(TypeError):
+        MappedBatch(
+            np.full(2, -1, np.int32), np.zeros(2, np.int32),
+            np.ones(2, np.int8), np.zeros(2, np.int32),
+        )
+
+
+def test_read_batch_shrink_copies():
+    """shrink() must not alias the full-capacity buffers (round-2 advice
+    #2): the shrunk arrays own their memory."""
+    from mitoflex_tpu.io.fastq import ReadBatch
+
+    cap, L = 1024, 8
+    rb = ReadBatch(
+        np.zeros((cap, L), np.int8), np.zeros((cap, L), np.int8),
+        np.zeros(cap, np.int32), 10, ["r%d" % i for i in range(10)],
+    )
+    small = rb.shrink(floor=16)
+    assert small.seqs.shape[0] == 16
+    for arr in (small.seqs, small.quals, small.lengths):
+        assert arr.base is None, "shrunk batch aliases the parent buffer"
