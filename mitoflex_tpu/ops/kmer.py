@@ -358,6 +358,115 @@ def merge_runs_device(
     return out_words, out_counts, n_unique
 
 
+# ----------------------------------------------------- scattered-run LSM path
+# A SCATTERED run is (words [cap] x W uint32 sorted ascending with all-ones
+# padding, counts [cap] uint32) with the single invariant "sum of counts over
+# the rows of a key == that key's total occurrence count" — totals need NOT
+# sit at any particular row of an equal-key run. This weaker contract makes
+# LSM merging a PURE sorted merge of (keys, counts-as-payload): no validity
+# tiebreaker key, no per-merge run re-sum, and no stable compaction sort
+# (the two extra passes merge_runs_device pays). Padding is all-ones keys
+# with zero counts, indistinguishable from (and safely summable with) a real
+# all-T key. One re-sum happens at host extraction where uint64 is free
+# (a device-side cumsum would wrap uint32 at ~4G total occurrences).
+# On TPU the merge itself can ride the Pallas bitonic merge
+# (psort.merge_sorted_runs, log2(n) substages) instead of a full
+# lax.sort (~log^2): MITOFLEX_PALLAS_MERGE=1/0 overrides, default = on
+# for TPU backends (read at trace time — flip before first use).
+
+def _pallas_merge_enabled() -> bool:
+    import os
+
+    flag = os.environ.get("MITOFLEX_PALLAS_MERGE", "")
+    if flag in ("0", "false", "off", "no"):
+        return False
+    if flag in ("1", "true", "on", "yes"):
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical"))
+def count_chunk_scattered(
+    seqs: jax.Array, lengths: jax.Array, k: int, canonical: bool = True
+):
+    """Chunk counting producing a SCATTERED device run — the single-sort
+    unit the scattered LSM merges (vs count_chunk_device's sort + stable
+    compaction sort). Capacity is padded to a power of two (>= 128) so
+    runs can ride the Pallas bitonic merge."""
+    s_words, counts, _is_start, is_end = count_chunk_runs(seqs, lengths, k, canonical)
+    sc = jnp.where(is_end, counts, jnp.uint32(0))
+    n0 = sc.shape[0]
+    n = max(128, 1 << max(n0 - 1, 1).bit_length())
+    if n > n0:
+        pad = n - n0
+        s_words = [
+            jnp.concatenate([w, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)])
+            for w in s_words
+        ]
+        sc = jnp.concatenate([sc, jnp.zeros((pad,), jnp.uint32)])
+    return s_words, sc
+
+
+@jax.jit
+def merge_scattered(
+    a_words: List[jax.Array], a_counts: jax.Array,
+    b_words: List[jax.Array], b_counts: jax.Array,
+):
+    """Merge two scattered runs: ONE sorted merge with counts as payload.
+    Unequal capacities are padded to the larger (all-ones keys, zero
+    counts — appending to a sorted run keeps it sorted). Routes through
+    the Pallas bitonic merge on TPU (log2(n) compare-exchange substages),
+    lax.sort elsewhere."""
+    W = len(a_words)
+    na, nb = a_counts.shape[0], b_counts.shape[0]
+    if na != nb:
+        m = max(na, nb)
+
+        def _pad(ws, cs, n):
+            p = m - n
+            ws = [jnp.concatenate([w, jnp.full((p,), 0xFFFFFFFF, jnp.uint32)])
+                  for w in ws]
+            return ws, jnp.concatenate([cs, jnp.zeros((p,), jnp.uint32)])
+
+        if na < m:
+            a_words, a_counts = _pad(a_words, a_counts, na)
+        else:
+            b_words, b_counts = _pad(b_words, b_counts, nb)
+    m = a_counts.shape[0]
+    if _pallas_merge_enabled() and m >= 128 and (m & (m - 1)) == 0:
+        from . import psort
+
+        merged = psort.merge_sorted_runs(
+            a_words + [a_counts], b_words + [b_counts], n_keys=W
+        )
+        return merged[:W], merged[W]
+    ops = [jnp.concatenate([x, y]) for x, y in zip(a_words, b_words)]
+    ops.append(jnp.concatenate([a_counts, b_counts]))
+    s = jax.lax.sort(ops, num_keys=W)
+    return list(s[:W]), s[W]
+
+
+def pull_scattered(words, counts) -> Tuple[np.ndarray, np.ndarray]:
+    """Host extraction of a scattered run: ONE re-sum per key (uint64, so
+    totals past 2^32 occurrences are exact), dropping zero-total keys
+    (padding). Returns (keys [U, W] uint32 sorted, counts [U] uint64)."""
+    keys = np.stack([np.asarray(w) for w in words], axis=1)
+    cnt = np.asarray(counts).astype(np.uint64)
+    n = len(cnt)
+    if n == 0:
+        return keys.reshape(0, keys.shape[1] if keys.ndim == 2 else 1), cnt
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+    starts = np.flatnonzero(new)
+    totals = np.add.reduceat(cnt, starts)
+    keep = totals > 0
+    return keys[starts][keep], totals[keep]
+
+
 # ---------------------------------------------------------------- host merge
 def count_chunk_host(
     seqs, lengths, k: int, weights=None, canonical: bool = False

@@ -1,4 +1,4 @@
-"""Pallas bitonic sort for 2-word (64-bit) keys on TPU.
+"""Pallas bitonic sort + run MERGE for multiword keys on TPU.
 
 XLA's `lax.sort` is the k-mer counting wall (PLAN.md: 461 Mkeys/s for the
 bare 2-word sort = 87% of count_chunk_runs). This module implements the
@@ -31,11 +31,20 @@ MEASURED (v5e, 4M keys, honest device-loop harness): lax.sort2
 429 Mkeys/s vs this kernel 110 Mkeys/s. The bitonic network is
 compute-bound — ~217 substages x ~25 int32 VPU ops per element dwarf the
 HBM savings, and XLA's native sort HLO spends far fewer ops per
-compare-exchange. `lax.sort` therefore stays the default; beating it
-would need register-level multi-element sorting networks per stage
-(round 2+ if counting ever becomes the bottleneck again). Kept because
-it is the only TPU sort we fully control (fusable into future Mosaic
-pipelines) and as a worked, tested example of the technique.
+compare-exchange. `lax.sort` therefore stays the default FULL sort;
+beating it would need register-level multi-element sorting networks per
+stage. Kept because it is the only TPU sort we fully control and as a
+worked, tested example of the technique.
+
+The economics flip for MERGING two already-sorted runs — the k-mer LSM's
+dominant operation (every key rides ~log2(n_chunks) merges, each of
+which `lax.sort` re-sorts from scratch at ~log^2 cost). A bitonic MERGE
+is only log2(n) compare-exchange substages: one XLA elementwise pass
+(run A vs reversed run B — the reverse fuses into the minmax), then one
+Pallas pair-pass per stride >= tile (pure streaming, bandwidth-bound),
+then ONE Pallas finish pass doing all strides < tile in VMEM.
+`merge_sorted_runs` implements this for W key words + payloads; the
+gate and the scattered-run format live in ops/kmer.py.
 """
 
 from __future__ import annotations
@@ -217,3 +226,156 @@ def bitonic_sort2(
             _finish_tile_kernel, f0, f1, tile, interpret, block=block
         )
     return _unflip(f0), _unflip(f1)
+
+
+# ------------------------------------------------------------- sorted-run merge
+def _cmpex_list(vals, partners, want_small_i, n_keys):
+    """Generalized compare-exchange: take the partner row iff it lies on
+    the wanted side of the multiword-key order. ``vals``/``partners`` are
+    lists of int32 arrays — the first ``n_keys`` are sign-flipped key
+    words (compared lexicographically), the rest are payloads that follow
+    their row. Arithmetic selects only (Mosaic cannot lower i1 vector
+    selects — see _cmpex)."""
+    lt = jnp.zeros_like(vals[0])
+    gt = jnp.zeros_like(vals[0])
+    eq = jnp.ones_like(vals[0])
+    for w, o in zip(vals[:n_keys], partners[:n_keys]):
+        lt = lt | (eq & (o < w).astype(jnp.int32))
+        gt = gt | (eq & (o > w).astype(jnp.int32))
+        eq = eq & (o == w).astype(jnp.int32)
+    take = want_small_i * lt + (1 - want_small_i) * gt
+    return [w + take * (o - w) for w, o in zip(vals, partners)]
+
+
+def _merge_pair_kernel(*refs, n_arr, n_keys):
+    """One cross-tile merge substage: each program owns one (lo, hi)
+    partner block pair; lo keeps the elementwise key-min, hi the max.
+    Block shape (1, 2, 1, R, LANES): axis 1 is the partner axis."""
+    ins = [r[0, :, 0] for r in refs[:n_arr]]        # (2, R, LANES)
+    lo = [x[0] for x in ins]
+    hi = [x[1] for x in ins]
+    swap = jnp.zeros_like(lo[0])
+    eq = jnp.ones_like(lo[0])
+    for a, b in zip(lo[:n_keys], hi[:n_keys]):
+        swap = swap | (eq & (a > b).astype(jnp.int32))
+        eq = eq & (a == b).astype(jnp.int32)
+    for i in range(n_arr):
+        d = swap * (hi[i] - lo[i])
+        refs[n_arr + i][0, 0, 0] = lo[i] + d
+        refs[n_arr + i][0, 1, 0] = hi[i] - d
+
+
+def _merge_pair_pass(arrs, n_keys, s_rows, blk_rows, interpret):
+    """Compare-exchange at stride ``s_rows`` ROWS (>= blk_rows) over
+    [Rtot, LANES]-shaped arrays: grid over (pair groups, blocks within a
+    stride), both partner blocks in VMEM per program. Pure streaming —
+    one read + one write of every row."""
+    n_arr = len(arrs)
+    Rtot = arrs[0].shape[0]
+    G, J = Rtot // (2 * s_rows), s_rows // blk_rows
+    ins = [a.reshape(G, 2, J, blk_rows, LANES) for a in arrs]
+    spec = pl.BlockSpec(
+        (1, 2, 1, blk_rows, LANES), lambda g, j: (g, 0, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_merge_pair_kernel, n_arr=n_arr, n_keys=n_keys),
+        grid=(G, J),
+        in_specs=[spec] * n_arr,
+        out_specs=[spec] * n_arr,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, 2, J, blk_rows, LANES), jnp.int32)
+        ] * n_arr,
+        interpret=interpret,
+    )(*ins)
+    return [o.reshape(Rtot, LANES) for o in outs]
+
+
+def _merge_finish_kernel(*refs, n_arr, n_keys, tile):
+    """All strides < tile of an ascending bitonic merge, entirely in
+    VMEM. Each block is bitonic on entry (the pair passes brought every
+    element into its block) and sorted ascending on exit."""
+    R = tile // LANES
+    i, lane = _tile_indices(R)
+    vals = [r[:] for r in refs[:n_arr]]
+    m = tile.bit_length() - 1
+    for j in range(m - 1, -1, -1):
+        s = 1 << j
+        want_small = ((i & s) == 0).astype(jnp.int32)
+        if s >= LANES:
+            partners = [_butterfly_rows(v, s // LANES) for v in vals]
+        else:
+            partners = [_butterfly_lanes(v, s, lane) for v in vals]
+        vals = _cmpex_list(vals, partners, want_small, n_keys)
+    for i_arr in range(n_arr):
+        refs[n_arr + i_arr][:] = vals[i_arr]
+
+
+def _merge_finish_pass(arrs, n_keys, tile, interpret):
+    n_arr = len(arrs)
+    Rtot = arrs[0].shape[0]
+    R = tile // LANES
+    spec = pl.BlockSpec((R, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(
+            _merge_finish_kernel, n_arr=n_arr, n_keys=n_keys, tile=tile
+        ),
+        grid=(Rtot // R,),
+        in_specs=[spec] * n_arr,
+        out_specs=[spec] * n_arr,
+        out_shape=[jax.ShapeDtypeStruct((Rtot, LANES), jnp.int32)] * n_arr,
+        interpret=interpret,
+    )(*arrs)
+    return list(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("n_keys", "tile", "interpret"))
+def merge_sorted_runs(a, b, n_keys, tile=1 << 13, interpret=False):
+    """Merge two equal-length sorted runs into one sorted [2m] run.
+
+    ``a`` and ``b`` are lists of uint32 arrays [m] — the first ``n_keys``
+    are key words (runs sorted ascending by their lexicographic order),
+    the rest are payloads riding with their rows. m must be a power of
+    two >= LANES. Equal keys merge in unspecified relative order (fine
+    for k-mer runs, where rows of equal keys are interchangeable).
+
+    Cost: log2(2m) compare-exchange substages instead of a full sort's
+    ~log^2 — one fused XLA pass (stride m, the reverse of b fuses into
+    the minmax), log2(m/tile)+1 streaming Pallas pair passes, and one
+    VMEM finish pass for every stride below the tile size."""
+    m = a[0].shape[0]
+    assert m & (m - 1) == 0 and m >= LANES, m
+    assert all(x.shape[0] == m for x in a + b)
+    n_arr = len(a)
+    fa = [_flip(x) if i < n_keys else jax.lax.bitcast_convert_type(x, jnp.int32)
+          for i, x in enumerate(a)]
+    fb = [_flip(x) if i < n_keys else jax.lax.bitcast_convert_type(x, jnp.int32)
+          for i, x in enumerate(b)]
+    # stage 1 (stride m): a[i] vs b[m-1-i]; the halves [L | H] then merge
+    # independently (all of L <= all of H by the bitonic 0-1 argument)
+    br = [x[::-1] for x in fb]
+    swap = jnp.zeros_like(fa[0])
+    eq = jnp.ones_like(fa[0])
+    for x, y in zip(fa[:n_keys], br[:n_keys]):
+        swap = swap | (eq & (x > y).astype(jnp.int32))
+        eq = eq & (x == y).astype(jnp.int32)
+    arrs = []
+    for x, y in zip(fa, br):
+        d = swap * (y - x)
+        arrs.append(jnp.concatenate([x + d, y - d]))
+    tile_eff = min(tile, m)
+    flat = [x.reshape(-1, LANES) for x in arrs]
+    s = m // 2
+    while s >= tile_eff:
+        flat = _merge_pair_pass(
+            flat, n_keys, s // LANES, tile_eff // LANES, interpret
+        )
+        s //= 2
+    if tile_eff > 1:
+        flat = _merge_finish_pass(flat, n_keys, tile_eff, interpret)
+    out = []
+    for i, x in enumerate(flat):
+        y = x.reshape(2 * m)
+        out.append(_unflip(y) if i < n_keys
+                   else jax.lax.bitcast_convert_type(y, jnp.uint32))
+    return out

@@ -70,12 +70,15 @@ class KmerCounter:
     """Chunked k-mer counting with a device-resident LSM.
 
     Unweighted chunks are counted AND merged on device: each chunk yields a
-    compacted sorted-unique run (count_chunk_device); runs merge pairwise
-    like a binary counter (merge_runs_device — one W-key sort + one stable
-    compaction sort per merge, no gathers, no per-chunk host transfer).
-    Runs whose capacity would exceed ``max_device_rows`` spill to the host
-    once and continue merging there (merge_sorted_counts). Weighted chunks
-    (contig re-injection) always use the exact host path."""
+    SCATTERED run (count_chunk_scattered — one sort, no compaction); runs
+    merge pairwise like a binary counter with a PURE sorted merge
+    (merge_scattered — the Pallas bitonic merge on TPU, lax.sort
+    elsewhere; no per-merge re-sum, no gathers, no per-chunk host
+    transfer). Per-key totals are re-summed exactly once at extraction
+    (pull_scattered, uint64 on host). Runs whose capacity would exceed
+    ``max_device_rows`` spill to the host once and continue merging there
+    (merge_sorted_counts). Weighted chunks (contig re-injection) always
+    use the exact host path."""
 
     def __init__(self, k: int, chunk_rows: int = 4096, canonical: bool = False,
                  max_device_rows: int = 1 << 26):
@@ -84,7 +87,7 @@ class KmerCounter:
         self.canonical = canonical
         self.max_device_rows = max_device_rows
         self._levels: List[Optional[Tuple[np.ndarray, np.ndarray]]] = []
-        self._dev_levels: List[Optional[tuple]] = []  # (words list, counts, n)
+        self._dev_levels: List[Optional[tuple]] = []  # scattered (words list, counts)
 
     def _push(self, run: Tuple[np.ndarray, np.ndarray]) -> None:
         level = 0
@@ -101,10 +104,7 @@ class KmerCounter:
             level += 1
 
     def _pull(self, run) -> Tuple[np.ndarray, np.ndarray]:
-        words, counts, n = run
-        n = int(n)
-        keys = np.stack([np.asarray(w)[:n] for w in words], axis=1)
-        return keys, np.asarray(counts)[:n].astype(np.uint64)
+        return kmer_ops.pull_scattered(run[0], run[1])
 
     def _push_device(self, run) -> None:
         level = 0
@@ -122,7 +122,7 @@ class KmerCounter:
                 self._push(self._pull(a))
                 self._push(self._pull(run))
                 return
-            run = kmer_ops.merge_runs_device(a[0], a[1], a[2], run[0], run[1], run[2])
+            run = kmer_ops.merge_scattered(a[0], a[1], run[0], run[1])
             level += 1
 
     def add_chunk(self, seqs: np.ndarray, lengths: np.ndarray,
@@ -131,7 +131,7 @@ class KmerCounter:
         if L < self.k:
             return
         if weights is None:
-            run = kmer_ops.count_chunk_device(
+            run = kmer_ops.count_chunk_scattered(
                 jnp.asarray(seqs), jnp.asarray(lengths), self.k, self.canonical
             )
             self._push_device(run)
@@ -148,8 +148,8 @@ class KmerCounter:
         for run in self._dev_levels:
             if run is None:
                 continue
-            dev = run if dev is None else kmer_ops.merge_runs_device(
-                dev[0], dev[1], dev[2], run[0], run[1], run[2]
+            dev = run if dev is None else kmer_ops.merge_scattered(
+                dev[0], dev[1], run[0], run[1]
             )
         acc = None
         if dev is not None:

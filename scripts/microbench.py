@@ -265,6 +265,79 @@ def bench_psort(n=1 << 22, tile=1 << 14):
         print(f"{name:10s} n={n}: {dt*1e3:8.2f} ms  {n/dt/1e6:8.1f} Mkeys/s")
 
 
+def bench_merge(m=1 << 21, tile=1 << 13):
+    """LSM merge step: old two-sort merge_runs_device vs scattered lax.sort
+    merge vs the Pallas bitonic merge, on two m-row sorted runs (W=2 keys +
+    count payload). The bitonic network's cost is data-independent, so the
+    seed perturbation (which breaks sortedness) changes values but not
+    timing — it only defeats the remote result cache."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from mitoflex_tpu.ops import kmer as K
+    from mitoflex_tpu.ops import psort
+
+    rng = np.random.default_rng(0)
+
+    def mk_run(seed):
+        r = np.random.default_rng(seed)
+        w0 = r.integers(0, 2**32, m, dtype=np.uint64).astype(np.uint32)
+        w1 = r.integers(0, 2**32, m, dtype=np.uint64).astype(np.uint32)
+        order = np.lexsort((w1, w0))
+        cnt = r.integers(1, 9, m, dtype=np.uint64).astype(np.uint32)
+        return (jnp.asarray(w0[order]), jnp.asarray(w1[order]),
+                jnp.asarray(cnt))
+
+    a0, a1, ac = mk_run(1)
+    b0, b1, bc = mk_run(2)
+    an = jnp.int32(m)
+
+    def make_old(iters):
+        @jax.jit
+        def run(seed):
+            def body(i, acc):
+                p = (i + seed).astype(jnp.uint32)
+                w, c, n = K.merge_runs_device(
+                    [a0 ^ p, a1], ac, an, [b0, b1], bc, an
+                )
+                return acc + w[0][0].astype(jnp.int32) + c[0].astype(jnp.int32)
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+        return run
+
+    def make_scat_xla(iters):
+        @jax.jit
+        def run(seed):
+            def body(i, acc):
+                p = (i + seed).astype(jnp.uint32)
+                s = jax.lax.sort(
+                    [jnp.concatenate([a0 ^ p, b0]), jnp.concatenate([a1, b1]),
+                     jnp.concatenate([ac, bc])], num_keys=2)
+                return acc + s[0][0].astype(jnp.int32) + s[2][0].astype(jnp.int32)
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+        return run
+
+    def make_scat_pallas(iters):
+        @jax.jit
+        def run(seed):
+            def body(i, acc):
+                p = (i + seed).astype(jnp.uint32)
+                o = psort.merge_sorted_runs(
+                    [a0 ^ p, a1, ac], [b0, b1, bc], n_keys=2, tile=tile
+                )
+                return acc + o[0][0].astype(jnp.int32) + o[2][0].astype(jnp.int32)
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+        return run
+
+    variants = [("old 2sort", make_old), ("scat xla", make_scat_xla)]
+    if jax.default_backend() == "tpu" or os.environ.get("MITOFLEX_BENCH_INTERPRET"):
+        variants.append(("scat pallas", make_scat_pallas))
+    for name, mk in variants:
+        dt = _timed_loop(mk, iters=8)
+        print(f"{name:12s} 2x{m}: {dt*1e3:8.2f} ms  {2*m/dt/1e6:8.1f} Mkeys/s")
+
+
 if __name__ == "__main__":
     import jax
 
@@ -273,7 +346,7 @@ if __name__ == "__main__":
     table = {
         "filter": bench_filter, "kmer": bench_kmer, "viterbi": bench_viterbi,
         "sw": bench_sw, "genewise": bench_genewise, "psort": bench_psort,
-        "mapper": bench_mapper,
+        "mapper": bench_mapper, "merge": bench_merge,
     }
     for name, fn in table.items():
         if which in (name, "all"):

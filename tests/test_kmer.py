@@ -374,3 +374,126 @@ def test_count_chunk_runs_pallas_sort_gate(monkeypatch, rng):
         K.count_chunk_runs.clear_cache()
     np.testing.assert_array_equal(keys, base_keys)
     np.testing.assert_array_equal(counts, base_counts)
+
+
+def test_pallas_merge_sorted_runs_interpret():
+    """Interpret-mode bitonic run MERGE == lax.sort of the concat, keys
+    AND payload association (payload order within an equal-key run is
+    unspecified — canonicalize by re-sorting rows by (key, payload))."""
+    import jax
+    from mitoflex_tpu.ops import psort
+
+    rng = np.random.default_rng(7)
+    for m, tile in ((128, 128), (1 << 12, 1 << 10), (1 << 12, 1 << 13)):
+        def mk(seed):
+            r = np.random.default_rng(seed)
+            k0 = r.integers(0, 50, m, dtype=np.uint64).astype(np.uint32)
+            k1 = r.integers(0, 2**32, m, dtype=np.uint64).astype(np.uint32)
+            k0[-m // 8:] = 0xFFFFFFFF  # padding block
+            k1[-m // 8:] = 0xFFFFFFFF
+            pay = r.integers(0, 2**31, m, dtype=np.uint64).astype(np.uint32)
+            order = np.lexsort((k1, k0))
+            return k0[order], k1[order], pay[order]
+
+        a = mk(rng.integers(1 << 30))
+        b = mk(rng.integers(1 << 30))
+        got = psort.merge_sorted_runs(
+            [jnp.asarray(x) for x in a], [jnp.asarray(x) for x in b],
+            n_keys=2, tile=tile, interpret=True,
+        )
+        g = [np.asarray(x) for x in got]
+        cat = [np.concatenate([x, y]) for x, y in zip(a, b)]
+        want = [np.asarray(x) for x in jax.lax.sort(
+            [jnp.asarray(c) for c in cat], num_keys=3
+        )]
+        canon = np.lexsort((g[2], g[1], g[0]))
+        for gx, wx in zip(g, want):
+            np.testing.assert_array_equal(gx[canon], wx)
+
+
+def test_count_chunk_scattered_matches_host(rng):
+    g = synth.random_genome(rng, 400)
+    reads = [r for r, _ in synth.shotgun_reads(rng, g, 40, read_len=70)]
+    k = 22
+    seqs, lens = _to_batch(reads, 80)
+    for canonical in (False, True):
+        words, counts = kmer_ops.count_chunk_scattered(
+            jnp.asarray(seqs), jnp.asarray(lens), k, canonical
+        )
+        n = counts.shape[0]
+        assert n >= 128 and (n & (n - 1)) == 0  # pow2 capacity contract
+        got_k, got_c = kmer_ops.pull_scattered(words, counts)
+        want_k, want_c = kmer_ops.count_chunk_host(seqs, lens, k, canonical=canonical)
+        np.testing.assert_array_equal(got_k, want_k)
+        np.testing.assert_array_equal(got_c, want_c)
+
+
+def test_scattered_lsm_matches_host_merge(rng):
+    """Chained merge_scattered over unequal-capacity scattered runs (incl.
+    a real all-T key colliding with padding) == host merge_sorted_counts."""
+    W = 2
+
+    def mk_scattered(nkeys, cap, seed, all_t=False):
+        r = np.random.default_rng(seed)
+        keys = r.integers(0, 2**32, (nkeys, W), dtype=np.uint32)
+        if all_t:
+            keys[0] = [0xFFFFFFFF, 0xFFFFFFFF]
+        view = kmer_ops.np_keys_view(keys)
+        order = np.argsort(view)
+        keys = keys[order]
+        keep = np.concatenate([[True], view[order][1:] != view[order][:-1]])
+        keys = keys[keep]
+        counts = r.integers(1, 50, len(keys)).astype(np.uint64)
+        words = [np.full(cap, 0xFFFFFFFF, np.uint32) for _ in range(W)]
+        cc = np.zeros(cap, np.uint32)
+        for w in range(W):
+            words[w][: len(keys)] = keys[:, w]
+        cc[: len(keys)] = counts
+        return keys, counts, ([jnp.asarray(x) for x in words], jnp.asarray(cc))
+
+    ka, ca, ra = mk_scattered(40, 128, 1, all_t=True)
+    kb, cb, rb = mk_scattered(30, 128, 2)
+    kc, cc_, rc = mk_scattered(90, 256, 3, all_t=True)
+    m1 = kmer_ops.merge_scattered(ra[0], ra[1], rb[0], rb[1])
+    m2 = kmer_ops.merge_scattered(m1[0], m1[1], rc[0], rc[1])  # 256 vs 256
+    got_k, got_c = kmer_ops.pull_scattered(m2[0], m2[1])
+    w1 = kmer_ops.merge_sorted_counts(ka, ca, kb, cb)
+    want_k, want_c = kmer_ops.merge_sorted_counts(w1[0], w1[1], kc, cc_)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c)
+
+
+def test_merge_scattered_pallas_gate(monkeypatch, rng):
+    """MITOFLEX_PALLAS_MERGE=1 routes merge_scattered through the bitonic
+    merge kernel (interpret mode on CPU) with identical results."""
+    import functools
+
+    from mitoflex_tpu.ops import kmer as K
+    from mitoflex_tpu.ops import psort
+
+    def mk(seed, cap):
+        r = np.random.default_rng(seed)
+        w0 = np.sort(r.integers(0, 40, cap, dtype=np.uint64).astype(np.uint32))
+        w1 = r.integers(0, 2**32, cap, dtype=np.uint64).astype(np.uint32)
+        order = np.lexsort((w1, w0))
+        cnt = r.integers(0, 9, cap, dtype=np.uint64).astype(np.uint32)
+        return [jnp.asarray(w0[order]), jnp.asarray(w1[order])], jnp.asarray(cnt)
+
+    aw, ac = mk(5, 256)
+    bw, bc = mk(6, 128)  # unequal: exercises the pad-to-larger path
+    base = K.merge_scattered(aw, ac, bw, bc)
+    base_k, base_c = K.pull_scattered(base[0], base[1])
+
+    monkeypatch.setenv("MITOFLEX_PALLAS_MERGE", "1")
+    monkeypatch.setattr(
+        psort, "merge_sorted_runs",
+        functools.partial(psort.merge_sorted_runs.__wrapped__, interpret=True),
+    )
+    K.merge_scattered.clear_cache()
+    try:
+        got = K.merge_scattered(aw, ac, bw, bc)
+        got_k, got_c = K.pull_scattered(got[0], got[1])
+    finally:
+        K.merge_scattered.clear_cache()
+    np.testing.assert_array_equal(got_k, base_k)
+    np.testing.assert_array_equal(got_c, base_c)
