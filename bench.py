@@ -151,9 +151,51 @@ def _child() -> int:
     mkeys_per_sec = windows / per_iter_k / 1e6
     print(f"# child: kmer count {mkeys_per_sec:.0f} Mkeys/s", file=sys.stderr)
 
+    # ---------------- LSM merge throughput ----------------
+    # The k-mer LSM's merge step (every key rides ~log2(n_chunks) of
+    # these): scattered-run sorted merge, Pallas bitonic merge on TPU
+    # (kmer.merge_scattered). The bitonic network's cost is data-
+    # independent, so the seed perturbation (which breaks sortedness)
+    # defeats the remote result cache without changing the timing.
+    Mn = 1 << 21 if backend != "cpu" else 1 << 15
+    mr = np.random.default_rng(7)
+
+    def _sorted_run(seed):
+        r = np.random.default_rng(seed)
+        w0 = r.integers(0, 2**32, Mn, dtype=np.uint64).astype(np.uint32)
+        w1 = r.integers(0, 2**32, Mn, dtype=np.uint64).astype(np.uint32)
+        order = np.lexsort((w1, w0))
+        cnt = r.integers(1, 9, Mn, dtype=np.uint64).astype(np.uint32)
+        return (jnp.asarray(w0[order]), jnp.asarray(w1[order]), jnp.asarray(cnt))
+
+    a0, a1, ac = _sorted_run(int(mr.integers(1 << 30)))
+    b0, b1, bc = _sorted_run(int(mr.integers(1 << 30)))
+
+    def merge_loop(iters):
+        @jax.jit
+        def run(sd):
+            def body(i, acc):
+                p = (i + sd).astype(jnp.uint32)
+                w, c = kmer_ops.merge_scattered([a0 ^ p, a1], ac, [b0, b1], bc)
+                return acc + w[0][0].astype(jnp.int32) + c[0].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        return run
+
+    def call_merge(fn):
+        seed[0] += 1
+        return int(fn(np.int32(seed[0])))
+
+    merge_iters = 20 if backend != "cpu" else 3
+    per_iter_m = _honest_rate(merge_loop, call_merge, merge_iters)
+    merge_mkeys = 2 * Mn / per_iter_m / 1e6
+    print(f"# child: lsm merge {merge_mkeys:.0f} Mkeys/s", file=sys.stderr)
+
     print(json.dumps({
         "filter_gbase_s": round(bases_per_sec / 1e9, 4),
         "kmer_count_mkeys_s": round(mkeys_per_sec, 1),
+        "lsm_merge_mkeys_s": round(merge_mkeys, 1),
         "backend": backend,
     }))
     return 0
@@ -271,7 +313,8 @@ def main() -> int:
                      timeout=E2E_TIMEOUT_S)
 
     bases_per_sec = dev["filter_gbase_s"] * 1e9
-    extras = {"kmer_count_mkeys_s": dev.get("kmer_count_mkeys_s")}
+    extras = {"kmer_count_mkeys_s": dev.get("kmer_count_mkeys_s"),
+              "lsm_merge_mkeys_s": dev.get("lsm_merge_mkeys_s")}
     if e2e and e2e.get("e2e_ok"):
         extras["e2e_fixture_wall_s"] = e2e["e2e_fixture_wall_s"]
         extras["e2e_fixture_bases"] = e2e["e2e_fixture_bases"]
