@@ -497,3 +497,65 @@ def test_merge_scattered_pallas_gate(monkeypatch, rng):
         K.merge_scattered.clear_cache()
     np.testing.assert_array_equal(got_k, base_k)
     np.testing.assert_array_equal(got_c, base_c)
+
+
+def test_pallas_mergepath_onepass_interpret():
+    """Interpret-mode ONE-PASS merge-path merge == lax.sort of the concat,
+    incl. a real all-ones key run (exercises the pad-flag tiebreak that
+    keeps in-tile pads from displacing real payloads) and a skewed pair
+    (extreme partitions: one run's keys all smaller)."""
+    import jax
+    from mitoflex_tpu.ops import psort
+
+    rng = np.random.default_rng(17)
+    for m, tile, skew in ((1 << 12, 1 << 10, 0), (512, 256, 0),
+                          (1 << 12, 1 << 12, 1000)):
+        def mk(seed, add):
+            r = np.random.default_rng(seed)
+            k0 = r.integers(0, 60, m, dtype=np.uint64).astype(np.uint32) + add
+            k1 = r.integers(0, 2**32, m, dtype=np.uint64).astype(np.uint32)
+            k0[-m // 8:] = 0xFFFFFFFF
+            k1[-m // 8:] = 0xFFFFFFFF
+            pay = r.integers(0, 2**31, m, dtype=np.uint64).astype(np.uint32)
+            order = np.lexsort((k1, k0))
+            return k0[order], k1[order], pay[order]
+
+        a = mk(int(rng.integers(1 << 30)), 0)
+        b = mk(int(rng.integers(1 << 30)), skew)
+        got = psort.merge_sorted_runs_onepass(
+            [jnp.asarray(x) for x in a], [jnp.asarray(x) for x in b],
+            n_keys=2, tile=tile, interpret=True,
+        )
+        g = [np.asarray(x) for x in got]
+        cat = [np.concatenate([x, y]) for x, y in zip(a, b)]
+        want = [np.asarray(x) for x in jax.lax.sort(
+            [jnp.asarray(c) for c in cat], num_keys=3
+        )]
+        canon = np.lexsort((g[2], g[1], g[0]))
+        for gx, wx in zip(g, want):
+            np.testing.assert_array_equal(gx[canon], wx)
+
+
+def test_kmer_counter_spill_path(rng):
+    """KmerCounter with a tiny device cap: scattered runs spill to the
+    host mid-LSM and the final table still matches a one-shot count
+    (mixed device/host levels, canonical + expand path exercised by
+    solid())."""
+    from mitoflex_tpu.stages.assemble import KmerCounter
+
+    g = synth.random_genome(rng, 1200)
+    reads = [r for r, _ in synth.shotgun_reads(rng, g, 300, read_len=70)]
+    k = 25
+    counter = KmerCounter(k, canonical=True, max_device_rows=4096)
+    for i in range(0, len(reads), 60):
+        seqs, lens = _to_batch(reads[i : i + 60], 80)
+        counter.add_chunk(seqs, lens)
+    got_k, got_c = counter.solid(1)
+    assert counter._levels, "cap never spilled - test misconfigured"
+
+    big = KmerCounter(k, canonical=True)
+    seqs, lens = _to_batch(reads, 80)
+    big.add_chunk(seqs, lens)
+    want_k, want_c = big.solid(1)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c)
