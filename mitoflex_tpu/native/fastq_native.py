@@ -29,7 +29,8 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        srcs = [os.path.join(_DIR, f) for f in ("fastq_reader.cpp", "dedup.cpp")]
+        srcs = [os.path.join(_DIR, f)
+                for f in ("fastq_reader.cpp", "dedup.cpp", "merge.cpp")]
         if not os.path.exists(_SO) or any(
             os.path.getmtime(_SO) < os.path.getmtime(s) for s in srcs
         ):

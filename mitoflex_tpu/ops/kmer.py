@@ -567,11 +567,22 @@ def merge_sorted_counts(
 
     op='sum' adds counts of equal keys (chunk accumulation); op='max' keeps
     the larger (used when overlaying re-injected contig depths over read
-    counts so reads are not double-counted — see stages/assemble.py)."""
+    counts so reads are not double-counted — see stages/assemble.py).
+
+    Large merges route through the native O(n) scan (native/merge.cpp,
+    ~2 orders of magnitude over the numpy argsort path — the host LSM
+    spill tail at multi-Gbp scale); numpy is the always-available
+    fallback and the semantics oracle (tests/test_native.py)."""
     if len(a_keys) == 0:
         return b_keys, b_counts
     if len(b_keys) == 0:
         return a_keys, a_counts
+    if op in ("sum", "max") and len(a_keys) + len(b_keys) >= 4096:
+        from ..native import merge_native
+
+        nat = merge_native.merge_counts(a_keys, a_counts, b_keys, b_counts, op)
+        if nat is not None:
+            return nat
     keys = np.concatenate([a_keys, b_keys])
     counts = np.concatenate([a_counts, b_counts]).astype(np.uint64)
     view = np_keys_view(keys)

@@ -57,3 +57,46 @@ def test_dispatch_used_by_io_layer(tmp_path, rng):
     p = synth.write_fastq(tmp_path / "r.fq", reads)
     got = list(fastq.read_batches(p, 32, 96))
     assert sum(b.count for b in got) == 60
+
+
+def test_native_merge_counts_matches_numpy(rng):
+    """Native O(n) merge == numpy argsort merge, both ops, with key
+    overlap, duplicate keys inside one input, and multiword ties."""
+    from mitoflex_tpu.native import merge_native
+    from mitoflex_tpu.ops import kmer as kmer_ops
+
+    if merge_native._lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    W = 3
+    def mk(n, seed):
+        r = np.random.default_rng(seed)
+        keys = r.integers(0, 6, (n, W)).astype(np.uint32)  # heavy collisions
+        view = kmer_ops.np_keys_view(keys)
+        keys = keys[np.argsort(view)]
+        counts = r.integers(1, 100, n).astype(np.uint64)
+        return keys, counts
+
+    ka, ca = mk(400, 1)
+    kb, cb = mk(300, 2)
+    for op in ("sum", "max"):
+        got = merge_native.merge_counts(ka, ca, kb, cb, op)
+        # numpy oracle: bypass the native fast path via tiny threshold
+        keys = np.concatenate([ka, kb])
+        counts = np.concatenate([ca, cb]).astype(np.uint64)
+        view = kmer_ops.np_keys_view(keys)
+        order = np.argsort(view, kind="stable")
+        sk, sc, sv = keys[order], counts[order], view[order]
+        new = np.empty(len(sv), bool)
+        new[0] = True
+        new[1:] = sv[1:] != sv[:-1]
+        seg = np.cumsum(new) - 1
+        want_c = np.zeros(seg[-1] + 1, np.uint64)
+        if op == "sum":
+            np.add.at(want_c, seg, sc)
+        else:
+            np.maximum.at(want_c, seg, sc)
+        np.testing.assert_array_equal(got[0], sk[new])
+        np.testing.assert_array_equal(got[1], want_c)
