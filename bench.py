@@ -212,6 +212,9 @@ def _child_e2e() -> int:
 
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, repo)
+    from mitoflex_tpu.utils import compile_cache
+
+    compile_cache.enable()
     from tests import profile_fixture, synth  # noqa: E402
 
     rng = np.random.default_rng(42)

@@ -38,20 +38,15 @@ class PipelineContext:
     def create(cls, cfg: PipelineConfig) -> "PipelineContext":
         wd = WorkDir(cfg.run.basedir, cfg.run.workname).create()
         logger.init(wd.log_path, cfg.run.log_level)
-        try:
-            # persistent XLA compilation cache: the scan kernels compile per
-            # shape bucket; pay that once per machine, not per run.
-            # NOT on remote-compile platforms (axon): executable
-            # serialization hangs there.
-            import jax
+        # persistent XLA compilation cache (CPU backend only — executable
+        # serialization hangs remote-compile platforms like axon): the
+        # pipeline is many mid-size programs compiled per shape bucket;
+        # pay that once per machine, not per run (utils/compile_cache).
+        from .utils import compile_cache
 
-            if jax.default_backend() == "cpu":
-                cache_dir = os.path.expanduser("~/.cache/mitoflex_tpu/xla")
-                os.makedirs(cache_dir, exist_ok=True)
-                jax.config.update("jax_compilation_cache_dir", cache_dir)
-                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass
+        compile_cache.enable(
+            os.path.expanduser("~/.cache/mitoflex_tpu/xla")
+        )
         profiles = None
         try:
             profiles = get_profiles(cfg.run.profile_dir)

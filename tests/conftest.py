@@ -14,6 +14,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from mitoflex_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()  # persistent XLA cache: repeat suite runs skip compiles
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
