@@ -449,6 +449,42 @@ def merge_scattered(
     return list(s[:W]), s[W]
 
 
+@jax.jit
+def scattered_to_unique(words, counts):
+    """Compact a SCATTERED run to the (unique words, counts, n_unique)
+    device contract: run totals by cumsum difference + ONE stable
+    compaction sort. Requires total occurrences < 2^31 (the int32 cumsum
+    must not wrap) — fine for per-batch tables like the sharded
+    all_to_all merge; the host LSM uses pull_scattered (uint64) instead.
+    Zero-total keys (padding, and the all-ones run when no real all-T
+    key exists) are dropped; output padding is all-ones/0."""
+    W = len(words)
+    n = counts.shape[0]
+    diff = jnp.zeros((n,), jnp.bool_)
+    for w in words:
+        diff = jnp.logical_or(
+            diff, jnp.concatenate([jnp.ones((1,), jnp.bool_), w[1:] != w[:-1]])
+        )
+    cs = jnp.cumsum(counts.astype(jnp.int32))
+    cs_prev = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs[:-1]])
+    prev_cs = jax.lax.cummax(jnp.where(diff, cs_prev, 0))
+    totals = cs - prev_cs
+    is_end = jnp.concatenate([diff[1:], jnp.ones((1,), jnp.bool_)])
+    keep = jnp.logical_and(is_end, totals > 0)
+    flag = jnp.where(keep, jnp.int32(0), jnp.int32(1))
+    comp = jax.lax.sort(
+        [flag] + list(words) + [totals], num_keys=1, is_stable=True
+    )
+    n_unique = jnp.sum(keep.astype(jnp.int32))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    out_words = [
+        jnp.where(pos < n_unique, w, jnp.uint32(0xFFFFFFFF))
+        for w in comp[1 : 1 + W]
+    ]
+    out_counts = jnp.where(pos < n_unique, comp[1 + W], 0).astype(jnp.uint32)
+    return out_words, out_counts, n_unique
+
+
 def pull_scattered(words, counts) -> Tuple[np.ndarray, np.ndarray]:
     """Host extraction of a scattered run: ONE re-sum per key (uint64, so
     totals past 2^32 occurrences are exact), dropping zero-total keys
