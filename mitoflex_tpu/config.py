@@ -92,6 +92,10 @@ class AssembleConfig:
 
     # TPU engine knobs
     kmer_chunk: int = 1 << 22        # k-mers per device sort chunk
+    read_chunk: int = 16384          # reads per counting batch (~3.7M windows
+                                     # at L=256 — the measured device sort
+                                     # sweet spot; amortizes per-chunk
+                                     # dispatch at multi-Gbp scale)
     max_contigs: int = 1 << 16       # static bound on contig table size
     prefilter_reads: bool = True     # at k>kmin, only count reads mapping to
                                      # surviving contigs (the depth-gated

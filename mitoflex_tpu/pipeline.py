@@ -130,6 +130,7 @@ def run_assemble(ctx: PipelineContext, clean1: str, clean2: Optional[str] = None
     wd = ctx.workdir
     out = wd.stage_file("assemble", "contigs.fa")
     assemble(ctx.cfg.assemble, clean1, clean2, out,
+             read_chunk=ctx.cfg.assemble.read_chunk,
              max_read_len=ctx.cfg.filter.max_read_len,
              host_shard=(0, 1) if inputs_sharded else None)
     if not ctx.cfg.assemble.disable_scaffolding and clean2:
@@ -342,7 +343,9 @@ def run_bim(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None) -> 
             old_noscaf or (i % max(cfg.bim.scaffolding_spare, 1) != 0)
         )
         try:
-            assemble(cfg.assemble, b1, b2, out, max_read_len=cfg.filter.max_read_len)
+            assemble(cfg.assemble, b1, b2, out,
+                     read_chunk=cfg.assemble.read_chunk,
+                     max_read_len=cfg.filter.max_read_len)
         finally:
             cfg.assemble.disable_scaffolding = old_noscaf
         if i > cfg.bim.iteration_ignore:
