@@ -271,8 +271,10 @@ def count_chunk_device(
     seqs: jax.Array, lengths: jax.Array, k: int, canonical: bool = True
 ):
     """Chunk counting producing a COMPACTED device run (sorted unique
-    words + counts + n_unique), the unit the device LSM merges. Compaction
-    uses the stable-sort trick (no gathers)."""
+    words + counts + n_unique). Compaction uses the stable-sort trick
+    (no gathers). SUPERSEDED on the production path by
+    count_chunk_scattered (which skips the compaction sort entirely);
+    kept for consumers that need the compacted contract directly."""
     s_words, counts, is_start, is_end = count_chunk_runs(seqs, lengths, k, canonical)
     W = len(s_words)
     n = counts.shape[0]
@@ -304,8 +306,10 @@ def merge_runs_device(
 
     Runs are (words [cap] x W uint32 sorted with 0xFFFFFFFF padding,
     counts [cap] uint32, n valid). Output capacity = capA + capB.
-    This is the LSM building block that keeps the k-mer table HBM-resident
-    instead of round-tripping every chunk through the host."""
+    SUPERSEDED on the production path by merge_scattered (one pure
+    sorted merge — the Pallas bitonic merge on TPU — with a single
+    re-sum at extraction; measured ~20x this formulation on-chip); kept
+    as the compacted-contract reference and for its tests."""
     W = len(a_words)
     words = [jnp.concatenate([a, b]) for a, b in zip(a_words, b_words)]
     n = words[0].shape[0]
