@@ -212,9 +212,9 @@ def resolve_config(args: argparse.Namespace) -> PipelineConfig:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
-    from .utils import compile_cache
-
-    compile_cache.enable()  # no-op off-CPU; MITOFLEX_COMPILE_CACHE=0 disables
+    # (the persistent compile cache is enabled inside
+    # PipelineContext.create — enabling it here would force JAX backend
+    # init even for --generate-config / load_modules / config errors)
 
     if args.command == "load_modules":
         mods = ["stages.filter", "stages.assemble", "stages.findmitoscaf",

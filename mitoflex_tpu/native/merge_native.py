@@ -61,4 +61,7 @@ def merge_counts(
         W, 0 if op == "sum" else 1,
         ok.ctypes.data_as(ctypes.c_void_p), oc.ctypes.data_as(ctypes.c_void_p),
     )
-    return ok[:n], oc[:n]
+    # copies, not views: a view would pin the full (na+nb)-row buffer for
+    # as long as the merged run lives (the LSM keeps levels for the whole
+    # run — same pinning class as the ReadBatch.shrink fix)
+    return ok[:n].copy(), oc[:n].copy()

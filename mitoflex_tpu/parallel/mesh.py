@@ -199,11 +199,14 @@ def count_kmers_sharded_partitioned(
             start = jnp.clip(lo[j], 0, M - C)
             ridx = start + iota
             ok = jnp.logical_and(ridx >= lo[j], ridx < lo[j + 1])
-            cols = [
-                jnp.where(ok, jax.lax.dynamic_slice_in_dim(w, start, C),
-                          jnp.uint32(0xFFFFFFFF))
-                for w in uw
-            ]
+            # keys stay the RAW sorted slice (out-of-bucket rows keep
+            # their — possibly foreign-range — keys); only counts are
+            # masked. Masking keys to all-ones would put pad rows at the
+            # FRONT whenever start was clipped below lo[j], breaking the
+            # ascending-run precondition of the Pallas bitonic merge
+            # downstream. Foreign keys ride with count 0 and vanish in
+            # scattered_to_unique's totals>0 compaction.
+            cols = [jax.lax.dynamic_slice_in_dim(w, start, C) for w in uw]
             cols.append(
                 jnp.where(ok, jax.lax.dynamic_slice_in_dim(uc, start, C),
                           jnp.uint32(0))

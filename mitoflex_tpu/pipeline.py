@@ -44,9 +44,7 @@ class PipelineContext:
         # pay that once per machine, not per run (utils/compile_cache).
         from .utils import compile_cache
 
-        compile_cache.enable(
-            os.path.expanduser("~/.cache/mitoflex_tpu/xla")
-        )
+        compile_cache.enable()
         profiles = None
         try:
             profiles = get_profiles(cfg.run.profile_dir)
@@ -130,7 +128,6 @@ def run_assemble(ctx: PipelineContext, clean1: str, clean2: Optional[str] = None
     wd = ctx.workdir
     out = wd.stage_file("assemble", "contigs.fa")
     assemble(ctx.cfg.assemble, clean1, clean2, out,
-             read_chunk=ctx.cfg.assemble.read_chunk,
              max_read_len=ctx.cfg.filter.max_read_len,
              host_shard=(0, 1) if inputs_sharded else None)
     if not ctx.cfg.assemble.disable_scaffolding and clean2:
@@ -344,7 +341,6 @@ def run_bim(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None) -> 
         )
         try:
             assemble(cfg.assemble, b1, b2, out,
-                     read_chunk=cfg.assemble.read_chunk,
                      max_read_len=cfg.filter.max_read_len)
         finally:
             cfg.assemble.disable_scaffolding = old_noscaf

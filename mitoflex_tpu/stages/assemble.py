@@ -526,7 +526,7 @@ def assemble(
     fastq1: str,
     fastq2: Optional[str],
     out_fasta: str,
-    read_chunk: int = 4096,
+    read_chunk: Optional[int] = None,
     max_read_len: int = 256,
     host_shard: Optional[Tuple[int, int]] = None,
 ) -> str:
@@ -538,6 +538,10 @@ def assemble(
     gzipped inputs can't seek and fall back to whole-file reads. Pass
     (0, 1) when the inputs are already per-host files (the multi-host
     `all` flow, where the filter stage wrote per-host shards)."""
+    if read_chunk is None:
+        # single source of truth is the config (tests pass an explicit
+        # override for tiny fixtures)
+        read_chunk = getattr(cfg, "read_chunk", 16384)
     if host_shard is None:
         from ..parallel.distributed import shard_info
 

@@ -15,7 +15,6 @@ can be passed or set via ``MITOFLEX_COMPILE_CACHE_DIR``.
 from __future__ import annotations
 
 import os
-import tempfile
 
 _enabled = False
 
@@ -35,8 +34,11 @@ def enable(cache_dir: str | None = None) -> bool:
             return False
     except Exception:
         return False
+    # default under the user's home, NOT tempdir: survives reboots ("pay
+    # once per machine") and avoids a predictable world-writable /tmp
+    # path another local user could pre-own or seed
     path = (os.environ.get("MITOFLEX_COMPILE_CACHE_DIR") or cache_dir
-            or os.path.join(tempfile.gettempdir(), "mitoflex_xla_cache"))
+            or os.path.expanduser("~/.cache/mitoflex_tpu/xla"))
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
