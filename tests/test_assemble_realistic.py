@@ -76,3 +76,45 @@ def test_realistic_mito_assembly(tmp_path):
     for r in recs:
         assert _genome_fraction([r.seq], mito) > 0 or len(r.seq) < 300, \
             "a nuclear-background contig leaked through the depth gates"
+
+
+@pytest.mark.slow
+def test_high_depth_mito_assembly(tmp_path):
+    """Upper end of the reference's stated depth regime (300-10000x,
+    SURVEY §6): 8 kb circular mito at ~2000x with 1% errors. Error
+    k-mers now reach ~20x multiplicity — far above min_multi AND above
+    the early depth gates — so tip clipping + bubble popping must clean
+    branches the gates can no longer remove."""
+    rng = np.random.default_rng(20260820)
+    mito = synth.random_genome(rng, 8000)
+    nuclear = [synth.random_genome(rng, 6000) for _ in range(2)]
+
+    pairs = synth.shotgun_reads(
+        rng, mito, 8000 * 2000 // 300, read_len=150, insert=300,
+        circular=True, error_rate=0.01,
+    )
+    for g in nuclear:
+        pairs += synth.shotgun_reads(
+            rng, g, 6000 * 15 // 300, read_len=150, insert=300,
+            error_rate=0.01,
+        )
+    order = rng.permutation(len(pairs))
+    pairs = [pairs[i] for i in order]
+    p1 = synth.write_fastq(tmp_path / "r1.fq", [p[0] for p in pairs])
+    p2 = synth.write_fastq(tmp_path / "r2.fq", [p[1] for p in pairs])
+
+    cfg = AssembleConfig(
+        kmer_list=[31, 43, 55, 71, 91, 111, 141],
+        depth_list=[10, 20, 20, 50, 50, 70, 70],
+    )
+    out = str(tmp_path / "contigs.fa")
+    asm.assemble(cfg, p1, str(p2), out, read_chunk=8192, max_read_len=160)
+    recs = fasta.load_fasta(out)
+
+    assert 1 <= len(recs) <= 3, f"{len(recs)} contigs survived the gates"
+    best = max(recs, key=lambda r: len(r.seq))
+    assert best.flag == 1, "circularity not detected"
+    assert len(best.seq) >= 8000
+    assert best.multi > 1000, f"depth wildly off: {best.multi}"
+    frac = _genome_fraction([r.seq for r in recs], mito)
+    assert frac >= 0.99, f"genome fraction {frac:.4f}"
