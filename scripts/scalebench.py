@@ -49,8 +49,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    if args.cpu:
-        # the sandbox pre-imports jax; env alone is too late
+    if args.cpu or os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the sandbox pre-imports jax; env alone is too late — honor an
+        # ambient JAX_PLATFORMS=cpu the same as --cpu
         jax.config.update("jax_platforms", "cpu")
 
     from mitoflex_tpu.models import hmm as hmm_models
