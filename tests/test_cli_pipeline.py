@@ -186,3 +186,51 @@ def test_findmitoscaf_standalone_length_gate(tmp_path, rng, monkeypatch):
 
     with pytest.raises(RuntimeError, match="At least one fastq"):
         pipeline.run_findmitoscaf(ctx, contigs, None, None, from_megahit=False)
+
+
+@pytest.mark.slow
+def test_cli_all_end_to_end_errorful(tmp_path):
+    """Full pipeline on ERRORFUL reads: 1% per-base errors at ~400x over
+    the fixture mitogenome (the error-free e2e above can't tell whether
+    assembly actually polishes to consensus). Asserts the picked contig
+    matches the genome EXACTLY and every PCG still annotates."""
+    rng = np.random.default_rng(9)
+    fake = profile_fixture.build(tmp_path, rng)
+    nuclear = synth.random_genome(rng, 3500)
+    glen = len(fake.genome)
+    pairs = synth.shotgun_reads(
+        rng, fake.genome, glen * 400 // 200, read_len=100, insert=300,
+        circular=True, error_rate=0.01,
+    )
+    pairs += synth.shotgun_reads(
+        rng, nuclear, 3500 * 12 // 200, read_len=100, insert=300,
+        error_rate=0.01,
+    )
+    order = rng.permutation(len(pairs))
+    pairs = [pairs[i] for i in order]
+    f1 = synth.write_fastq(tmp_path / "r1.fq", [p[0] for p in pairs])
+    f2 = synth.write_fastq(tmp_path / "r2.fq", [p[1] for p in pairs])
+    r = _run_cli(
+        [
+            "all", "--fastq1", f1, "--fastq2", f2,
+            "--workname", "errrun",
+            "--clade", fake.clade,
+            "--profile-dir", fake.profile_dir,
+            "--kmer-list", "21,41", "--depth-list", "10,20",
+            "--min-abundance", "10",
+            "--disable-taxa", "--keep-temp",
+            "--genetic-code", "5",
+        ],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-3000:]
+    result_dir = tmp_path / "errrun" / "errrun.result"
+    picked = fasta.load_fasta(str(result_dir / "errrun.picked.fa"))
+    assert len(picked) >= 1
+    best = max(picked, key=lambda p: len(p.seq))
+    dbl = fake.genome + fake.genome
+    rc = encoding.revcomp_str(best.seq)
+    assert best.seq in dbl or rc in dbl, "consensus not error-free"
+    locs = json.load(open(result_dir / "locs.json"))
+    pcgs = {g for g, v in locs.items() if v[2] == 0}
+    assert pcgs >= set(profile_fixture.GENES)
