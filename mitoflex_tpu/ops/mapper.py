@@ -305,14 +305,32 @@ def map_batch(
             np.ones(B, np.int8), np.zeros(B, np.int32),
             np.zeros(B, np.int32),
         )
+    # Canonicalize the batch shape before tracing. Read buffers are padded
+    # to the reader's capacity (often 256 cols for 100 bp reads) — but the
+    # device work (seed count, join sort rows) scales with the column
+    # count, so slice to a pow2 bucket of the real max read length. Rows
+    # are bucketed up to pow2 with empty reads: distinct callers then
+    # share one (cap, B, L) jit signature instead of compiling per batch.
+    seqs = np.asarray(seqs)
+    lengths = np.asarray(lengths)
+    lmax = int(lengths[:B].max(initial=0)) if B else 0
+    w = _pad_pow2(max(lmax, K), floor=64)
+    if w < L:
+        seqs = seqs[:, :w]
+    Bp = _pad_pow2(B, floor=256)
+    if Bp > B:
+        seqs = np.concatenate(
+            [seqs, np.zeros((Bp - B, seqs.shape[1]), seqs.dtype)]
+        )
+        lengths = np.concatenate([lengths, np.zeros(Bp - B, lengths.dtype)])
     contig, pos, strand, votes, raw = _map_device(
         index.keys, index.contig_of, index.pos_of,
         jnp.asarray(seqs), jnp.asarray(lengths),
         min_votes, sample_step, max_key_mult,
     )
     return MappedBatch(
-        np.asarray(contig), np.asarray(pos), np.asarray(strand),
-        np.asarray(votes), np.asarray(raw),
+        np.asarray(contig)[:B], np.asarray(pos)[:B], np.asarray(strand)[:B],
+        np.asarray(votes)[:B], np.asarray(raw)[:B],
     )
 
 
