@@ -44,6 +44,31 @@ def test_mapper_places_reads(rng):
     assert (m.contig[n_fwd + n_rc :] == -1).all()
 
 
+def test_mapper_batch_canonicalization(rng):
+    """map_batch slices wide read buffers to the real max length and pads
+    odd row counts to pow2 — results must be invariant to both, and odd-B
+    batches must reuse the bucketed jit signature (no per-shape retrace)."""
+    g = synth.random_genome(rng, 3000)
+    idx = mapper.ContigIndex.build([FastaRecord("c1", g)])
+    reads = [g[i : i + 100] for i in range(0, 1500, 50)]
+    junk = [synth.random_genome(rng, 100) for _ in range(3)]
+    narrow = _batchify(reads + junk, max_len=128)
+    wide = _batchify(reads + junk, max_len=512)
+    m_n = mapper.map_batch(idx, narrow.seqs, narrow.lengths)
+    m_w = mapper.map_batch(idx, wide.seqs, wide.lengths)
+    for f in ("contig", "pos", "strand", "votes", "raw_pos"):
+        np.testing.assert_array_equal(getattr(m_n, f), getattr(m_w, f))
+    assert m_n.contig.shape == (len(reads) + 3,)  # padding rows sliced off
+    # odd B values inside one pow2 bucket share a compiled signature
+    misses0 = mapper._map_device._cache_size()
+    mapper.map_batch(idx, narrow.seqs[:31], narrow.lengths[:31])
+    mapper.map_batch(idx, narrow.seqs[:17], narrow.lengths[:17])
+    first = mapper._map_device._cache_size()
+    mapper.map_batch(idx, narrow.seqs[:29], narrow.lengths[:29])
+    assert mapper._map_device._cache_size() == first
+    assert first <= misses0 + 1
+
+
 def test_coverage_means(rng):
     g = synth.random_genome(rng, 1000)
     contig = FastaRecord("c1", g)
