@@ -437,9 +437,17 @@ def _extend_ends(
     index = mapper_ops.ContigIndex.build(recs)
     votes_r = [np.zeros((max_ext, 4), np.int32) for _ in contigs]
     votes_l = [np.zeros((max_ext, 4), np.int32) for _ in contigs]
+    clens = np.asarray([len(c.seq) for c in contigs], np.int64)
     for seqs, lengths in read_source():
         m = mapper_ops.map_batch(index, seqs, lengths, min_votes=2)
-        sel = np.nonzero(m.contig >= 0)[0]
+        mapped = m.contig >= 0
+        # only reads overhanging an end vote — select them vectorized
+        # before the per-read voting loop (the bulk of mapped reads sit
+        # strictly inside the contig and contribute nothing)
+        ro_all = np.where(
+            mapped, m.raw_pos + lengths - clens[np.maximum(m.contig, 0)], 0
+        )
+        sel = np.nonzero(mapped & ((ro_all > 0) | (m.raw_pos < 0)))[0]
         for b in sel:
             ci = int(m.contig[b])
             clen = len(contigs[ci].seq)
