@@ -299,7 +299,7 @@ def map_batch(
     max_key_mult: int = MAX_MULT,
 ) -> MappedBatch:
     B, L = seqs.shape
-    if L < K or index.n_entries == 0:
+    if B == 0 or L < K or index.n_entries == 0:
         return MappedBatch(
             np.full(B, -1, np.int32), np.zeros(B, np.int32),
             np.ones(B, np.int8), np.zeros(B, np.int32),

