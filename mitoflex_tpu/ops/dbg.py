@@ -189,36 +189,174 @@ class Unitig(NamedTuple):
     node_ids: np.ndarray     # node indices along the chain (graph order)
 
 
-def unitigs_from_pass(gp: GraphPass, k: int) -> list[Unitig]:
-    """Host side: group nodes by unitig root, order by offset, emit base
-    strings. Each unitig appears once per strand; use
-    :func:`dedup_strands` to keep one representative."""
+class UnitigSet(NamedTuple):
+    """Struct-of-arrays unitig table — the production form (the reference's
+    megahit_core keeps a UnitigGraph in C++; here the per-unitig layer is
+    bulk numpy so a 10M-unitig graph analyzes in seconds, not minutes).
+
+    Strings are decoded lazily (:meth:`seq_str`) — only for contigs that
+    survive the depth/length gates and for bubble-candidate comparisons.
+    """
+
+    n: int
+    seq_codes: np.ndarray    # [total_bases] uint8 base codes (0..3), concatenated
+    seq_bounds: np.ndarray   # [n+1] int64 — unitig j's bases are codes[b[j]:b[j+1]]
+    depth: np.ndarray        # [n] float64 — mean internal link multiplicity
+    circular: np.ndarray     # [n] bool
+    chain_nodes: np.ndarray  # [total_nodes] int32 node ids in chain order
+    chain_bounds: np.ndarray # [n+1] int64
+    node_keys: np.ndarray    # [n_nodes, W] uint32 — sorted node k-mer keys
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.seq_bounds)
+
+    @property
+    def chain_counts(self) -> np.ndarray:
+        return np.diff(self.chain_bounds)
+
+    @property
+    def entry(self) -> np.ndarray:
+        return self.chain_nodes[self.chain_bounds[:-1]]
+
+    @property
+    def exit(self) -> np.ndarray:
+        return self.chain_nodes[self.chain_bounds[1:] - 1]
+
+    def seq_str(self, j: int) -> str:
+        codes = self.seq_codes[self.seq_bounds[j] : self.seq_bounds[j + 1]]
+        return _DECODE_LUT[codes].tobytes().decode()
+
+    def unitig(self, j: int) -> Unitig:
+        return Unitig(
+            self.seq_str(j), float(self.depth[j]), bool(self.circular[j]),
+            self.chain_nodes[self.chain_bounds[j] : self.chain_bounds[j + 1]],
+        )
+
+
+_DECODE_LUT = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def unitig_set_from_pass(gp: GraphPass, k: int) -> UnitigSet:
+    """Vectorized unitig extraction: group nodes by root, order by offset,
+    assemble base codes in bulk (no per-unitig Python). Each unitig
+    appears once per strand; :func:`dedup_strand_mask` picks one."""
     n = int(gp.n_nodes)
+    node_keys = np.stack([np.asarray(w)[:n] for w in gp.node_words], axis=1)
     if n == 0:
-        return []
+        z64 = np.zeros(1, np.int64)
+        return UnitigSet(0, np.zeros(0, np.uint8), z64, np.zeros(0),
+                         np.zeros(0, bool), np.zeros(0, np.int32), z64,
+                         node_keys)
     root = np.asarray(gp.root)[:n]
     offset = np.asarray(gp.offset)[:n]
-    link = np.asarray(gp.link_count)[:n]
+    link = np.asarray(gp.link_count)[:n].astype(np.float64)
     cyc = np.asarray(gp.is_cycle)[:n]
-    words = np.stack([np.asarray(w)[:n] for w in gp.node_words], axis=1)
-    bases = decode_node_kmers(words, k)
 
-    order = np.lexsort((offset, root))
+    order = np.lexsort((offset, root)).astype(np.int32)
     r_sorted = root[order]
-    starts = np.flatnonzero(np.concatenate([[True], r_sorted[1:] != r_sorted[:-1]]))
-    bounds = np.append(starts, len(order))
+    starts = np.flatnonzero(
+        np.concatenate([[True], r_sorted[1:] != r_sorted[:-1]])
+    )
+    counts = np.diff(np.append(starts, n)).astype(np.int64)
+    U = len(starts)
+    chain_bounds = np.concatenate([[0], np.cumsum(counts)])
+    firsts = order[starts]
 
-    out: list[Unitig] = []
-    decode_lut = np.frombuffer(b"ACGTN", dtype=np.uint8)
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        chain = order[s:e]
-        first = chain[0]
-        seq_codes = np.concatenate([bases[first], bases[chain[1:], k - 1]])
-        seq = decode_lut[seq_codes].tobytes().decode()
-        links = link[chain[1:]]
-        depth = float(links.mean()) if len(links) else 0.0
-        out.append(Unitig(seq, depth, bool(cyc[first]), chain))
-    return out
+    # sequence assembly: unitig j spans k + counts[j] - 1 bases; node i>0
+    # contributes its last base at position (k-1)+i, node 0 its full k-mer
+    seq_lens = counts + (k - 1)
+    seq_bounds = np.concatenate([[0], np.cumsum(seq_lens)])
+    total = int(seq_bounds[-1])
+    seq_codes = np.empty(total, np.uint8)
+    w_last, t_last = divmod(k - 1, BASES_PER_WORD)
+    last_base = (
+        (node_keys[:, w_last] >> (2 * (BASES_PER_WORD - 1 - t_last))) & 0x3
+    ).astype(np.uint8)
+    # global sorted position g of a node in chain u sits at sequence
+    # position g + (k-1)(u+1): one repeat instead of two
+    u_of = np.repeat(np.arange(U, dtype=np.int64), counts)
+    pos = np.arange(n, dtype=np.int64) + (k - 1) * (u_of + 1)
+    seq_codes[pos] = last_base[order]
+    # head k-mers: one U-sized scatter per base column (a single [U*k]
+    # fancy index would allocate gigabytes of int64 at 10M+ unitigs)
+    fk = node_keys[firsts]
+    head_starts = seq_bounds[:-1]
+    for c in range(k - 1):
+        w, t = divmod(c, BASES_PER_WORD)
+        seq_codes[head_starts + c] = (
+            (fk[:, w] >> (2 * (BASES_PER_WORD - 1 - t))) & 0x3
+        ).astype(np.uint8)
+
+    # segment sums via cumsum difference (np.add.reduceat pays per-group
+    # ufunc overhead — seconds at 10M groups)
+    cs = np.concatenate([[0.0], np.cumsum(link[order])])
+    link_sum = cs[chain_bounds[1:]] - cs[chain_bounds[:-1]]
+    depth = np.where(counts > 1, link_sum / np.maximum(counts - 1, 1), 0.0)
+    return UnitigSet(U, seq_codes, seq_bounds, depth, cyc[firsts],
+                     order, chain_bounds, node_keys)
+
+
+def rc_node_ids(node_keys: np.ndarray, k: int) -> np.ndarray:
+    """For each node, the id of its reverse-complement node. The graph
+    holds both strands (every edge was counted in both orientations), so
+    the RC of every node k-mer is itself a node; the node table is sorted
+    by key, so id = searchsorted."""
+    n = len(node_keys)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    return _rc_ids_of(node_keys, np.arange(n, dtype=np.int64), k)
+
+
+def _rc_ids_of(node_keys: np.ndarray, nodes: np.ndarray, k: int) -> np.ndarray:
+    """RC node ids for a SUBSET of nodes (queries only that subset — the
+    full-table variant is 3x the work when only unitig endpoints are
+    needed). Missing RCs (impossible in a both-strand graph) map to the
+    node itself, which degrades to keeping both strands, never dropping."""
+    if len(nodes) == 0:
+        return nodes.astype(np.int64)
+    rc = kmer_ops.np_revcomp_keys(node_keys[nodes], k)
+    ids = kmer_ops.np_searchsorted_keys(node_keys, rc)
+    ids = np.clip(ids, 0, len(node_keys) - 1)
+    miss = (node_keys[ids] != rc).any(axis=1)
+    return np.where(miss, nodes, ids)
+
+
+def dedup_strand_mask(uset: UnitigSet, k: int) -> np.ndarray:
+    """Boolean keep-mask selecting one strand per unitig, vectorized.
+
+    The RC twin of a linear unitig has entry' = rc(exit) — and entry
+    uniquely identifies a unitig (nodes partition across unitigs), so
+    canonical id = min(entry, rc_id[exit]) pairs the two strands exactly.
+    Circular unitigs break their cycle at the minimum node id, so the
+    canonical id is min over the chain of min(id, rc_id) on both strands.
+    No string comparisons, no rotations (cf. the list-based
+    :func:`dedup_strands` oracle); RC lookups touch only unitig endpoints
+    (plus circular chains), not the full node table."""
+    if uset.n == 0:
+        return np.zeros(0, bool)
+    entry = uset.entry.astype(np.int64)
+    exit_ = uset.exit.astype(np.int64)
+    canon = np.minimum(entry, _rc_ids_of(uset.node_keys, exit_, k))
+    circ = uset.circular
+    if circ.any():
+        csel = np.repeat(circ, uset.chain_counts)
+        cnodes = uset.chain_nodes[csel].astype(np.int64)
+        both_min = np.minimum(cnodes, _rc_ids_of(uset.node_keys, cnodes, k))
+        ccounts = uset.chain_counts[circ]
+        cb = np.concatenate([[0], np.cumsum(ccounts)[:-1]])
+        canon[circ] = np.minimum.reduceat(both_min, cb)
+    _, first_idx = np.unique(canon, return_index=True)
+    keep = np.zeros(uset.n, bool)
+    keep[first_idx] = True
+    return keep
+
+
+def unitigs_from_pass(gp: GraphPass, k: int) -> list[Unitig]:
+    """List-of-objects view (oracle/compat path; the production pipeline
+    uses :func:`unitig_set_from_pass` + array analyses directly)."""
+    uset = unitig_set_from_pass(gp, k)
+    return [uset.unitig(j) for j in range(uset.n)]
 
 
 def _revcomp_str(s: str) -> str:

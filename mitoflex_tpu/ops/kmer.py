@@ -598,6 +598,62 @@ def np_keys_view(keys: np.ndarray) -> np.ndarray:
     return be.view([("k", "V%d" % (keys.shape[1] * 4))]).reshape(-1)
 
 
+def np_pack64(keys: np.ndarray) -> np.ndarray:
+    """Leading 64 bits of each [N, W] key row as native uint64 (word 0 high;
+    word 1 low, or zero when W == 1). Order-equivalent to the full key for
+    W <= 2."""
+    hi = keys[:, 0].astype(np.uint64) << np.uint64(32)
+    if keys.shape[1] > 1:
+        return hi | keys[:, 1].astype(np.uint64)
+    return hi
+
+
+def np_searchsorted_keys(
+    sorted_keys: np.ndarray, queries: np.ndarray, side: str = "left"
+) -> np.ndarray:
+    """searchsorted for multiword uint32 keys using NATIVE uint64 compares.
+
+    The void-record view (np_keys_view) makes numpy's searchsorted call a
+    function-pointer memcmp per probe — ~100x slower than native ints; at
+    tens of millions of nodes that was the strand-dedup wall. Here the
+    leading 64 bits resolve almost every probe in one native search; the
+    rare runs of equal leading bits (W > 2 only) are refined with a void
+    search restricted to the tied queries."""
+    N, W = sorted_keys.shape
+    q = np.asarray(queries)
+    if N == 0:
+        return np.zeros(len(q), np.int64)
+    a64 = np_pack64(sorted_keys)
+    q64 = np_pack64(q)
+    if len(q64) >= (1 << 20):
+        # numpy's searchsorted gallops from the previous hit when queries
+        # ascend — sorting queries turns 25 random probes/query into
+        # near-sequential access (3-5x at tens of millions of keys)
+        qo = np.argsort(q64, kind="stable")
+
+        def _search(arr, qq, s):
+            out = np.empty(len(qq), np.int64)
+            out[qo] = np.searchsorted(arr, qq[qo], side=s)
+            return out
+    else:
+        def _search(arr, qq, s):
+            return np.searchsorted(arr, qq, side=s).astype(np.int64)
+    if W <= 2:
+        return _search(a64, q64, side)
+    lo = _search(a64, q64, "left")
+    hi = _search(a64, q64, "right")
+    out = (lo if side == "left" else hi).astype(np.int64)
+    # any query whose leading 64 bits match >= 1 table row needs the
+    # remaining words to place it within (or at either end of) the run
+    tie = hi > lo
+    if tie.any():
+        out[tie] = np.searchsorted(
+            np_keys_view(sorted_keys), np_keys_view(np.ascontiguousarray(q[tie])),
+            side=side,
+        )
+    return out
+
+
 def merge_sorted_counts(
     a_keys: np.ndarray, a_counts: np.ndarray, b_keys: np.ndarray, b_counts: np.ndarray,
     op: str = "sum",

@@ -374,14 +374,14 @@ def assemble_k(
         n = int(gp.n_nodes)
         if n == 0:
             raise EmptyGraph(f"graph emptied at k={k}")
-        unitigs = dbg_ops.unitigs_from_pass(gp, k)
+        uset = dbg_ops.unitig_set_from_pass(gp, k)
         stale = False
         in_deg = np.asarray(gp.in_deg)[:n]
         out_deg = np.asarray(gp.out_deg)[:n]
         pre = np.asarray(gp.prefix_id)[: len(keys)].astype(np.int64)
         suf = np.asarray(gp.suffix_id)[: len(keys)].astype(np.int64)
         res = graph_clean.analyze_round(
-            unitigs, in_deg, out_deg, pre, suf, counts, k, clean
+            uset, in_deg, out_deg, pre, suf, counts, k, clean
         )
         bubbles.extend(Contig(b.seq, b.depth, False) for b in res.bubbles)
         if not res.any:
@@ -404,14 +404,16 @@ def assemble_k(
         gp = _run_graph_pass(keys, counts, k)
         if int(gp.n_nodes) == 0:
             raise EmptyGraph(f"graph emptied at k={k}")
-        unitigs = dbg_ops.unitigs_from_pass(gp, k)
+        uset = dbg_ops.unitig_set_from_pass(gp, k)
 
-    unitigs = dbg_ops.dedup_strands(unitigs)
-    contigs = []
-    for u in unitigs:
-        if len(u.seq) < min(min_standalone, 2 * k):
-            continue
-        contigs.append(Contig(u.seq, u.depth, u.circular))
+    # one strand per unitig, then the standalone length gate — both as
+    # masks over the set; only survivors decode to strings
+    keep_u = dbg_ops.dedup_strand_mask(uset, k)
+    keep_u &= uset.lengths >= min(min_standalone, 2 * k)
+    contigs = [
+        Contig(uset.seq_str(j), float(uset.depth[j]), bool(uset.circular[j]))
+        for j in np.flatnonzero(keep_u)
+    ]
     # popped branches arrive once per strand (the RC twin bubble pops the
     # mirrored loser) — keep one representative each
     seen: dict = {}

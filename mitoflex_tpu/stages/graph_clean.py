@@ -146,92 +146,96 @@ def _single_neighbors(
     entry: np.ndarray, exit_: np.ndarray,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """For each unitig: its unique predecessor node (or -1) and unique
-    successor node (or -1), resolved by sorted-edge lookups."""
-    o_in = np.argsort(suf, kind="stable")
-    o_out = np.argsort(pre, kind="stable")
-    suf_s, pre_of_in = suf[o_in], pre[o_in]
-    pre_s, suf_of_out = pre[o_out], suf[o_out]
+    successor node (or -1).
 
-    p_in = np.searchsorted(suf_s, entry)
-    has_in = (in_deg[entry] == 1) & (p_in < len(suf_s))
-    p_in = np.clip(p_in, 0, max(len(suf_s) - 1, 0))
-    pred = np.where(has_in & (suf_s[p_in] == entry), pre_of_in[p_in], -1)
-
-    p_out = np.searchsorted(pre_s, exit_)
-    has_out = (out_deg[exit_] == 1) & (p_out < len(pre_s))
-    p_out = np.clip(p_out, 0, max(len(pre_s) - 1, 0))
-    succ = np.where(has_out & (pre_s[p_out] == exit_), suf_of_out[p_out], -1)
+    Scatter-based: ``in1[suf] = pre`` leaves an arbitrary winner at nodes
+    with several in-edges, but the result is only read where in_deg == 1 —
+    exactly one write, so it is exact. Two O(E) scatters replace the two
+    O(E log E) argsorts (the former wall of this analysis at 10M+
+    unitigs)."""
+    n = len(in_deg)
+    in1 = np.full(n, -1, np.int64)
+    in1[suf] = pre
+    out1 = np.full(n, -1, np.int64)
+    out1[pre] = suf
+    pred = np.where(in_deg[entry] == 1, in1[entry], -1)
+    succ = np.where(out_deg[exit_] == 1, out1[exit_], -1)
     return pred, succ
 
 
 def pop_bubbles(
-    unitigs, pred: np.ndarray, succ: np.ndarray, k: int, params: CleanParams,
+    uset, pred: np.ndarray, succ: np.ndarray, k: int, params: CleanParams,
     bad_nodes: np.ndarray,
 ) -> List[PoppedBubble]:
     """Group non-circular unitigs by their (single-pred, single-succ) node
     pair; in each group of parallel branches keep the deepest and pop the
     rest, subject to the level's length bound and merge_similar.
 
+    Candidate selection and grouping are bulk array ops over the
+    :class:`~mitoflex_tpu.ops.dbg.UnitigSet`; only actual bubble GROUPS
+    (rare relative to unitigs) decode sequences for the similarity check.
+
     Orientation symmetry: the reverse-complement twin of every bubble is
     an independent group keyed by the mirrored node pair; because edge
     counts and the canonical-sequence tie-break are strand-symmetric, the
     same branch loses in both, keeping the bidirected graph consistent."""
     popped: List[PoppedBubble] = []
-    if params.bubble_level <= 0 or not len(unitigs):
+    if params.bubble_level <= 0 or uset.n == 0:
         return popped
     max_branch = (params.merge_len * k if params.bubble_level >= 2
                   else 2 * k + 2)
-    cand = [
-        j for j, u in enumerate(unitigs)
-        if (not u.circular) and pred[j] >= 0 and succ[j] >= 0
-        and pred[j] != succ[j] and len(u.seq) <= max_branch
-    ]
+    lengths = uset.lengths
+    cand = np.flatnonzero(
+        (~uset.circular) & (pred >= 0) & (succ >= 0) & (pred != succ)
+        & (lengths <= max_branch)
+    )
     if len(cand) < 2:
         return popped
-    keys = np.stack(
-        [np.asarray([pred[j] for j in cand]), np.asarray([succ[j] for j in cand])],
-        axis=1,
-    )
-    order = np.lexsort((keys[:, 1], keys[:, 0]))
-    ks = keys[order]
+    cp, cs = pred[cand], succ[cand]
+    order = np.lexsort((cs, cp))
+    cp, cs, cand = cp[order], cs[order], cand[order]
     starts = np.flatnonzero(
-        np.concatenate([[True], (ks[1:] != ks[:-1]).any(axis=1)])
+        np.concatenate([[True], (cp[1:] != cp[:-1]) | (cs[1:] != cs[:-1])])
     )
-    bounds = np.append(starts, len(order))
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        if e - s < 2:
-            continue
-        group = [unitigs[cand[order[i]]] for i in range(s, e)]
-        idxs = [cand[order[i]] for i in range(s, e)]
+    bounds = np.append(starts, len(cand))
+    group_sizes = np.diff(bounds)
+    for gi in np.flatnonzero(group_sizes >= 2):
+        s, e = bounds[gi], bounds[gi + 1]
+        idxs = cand[s:e]
+        seqs = {int(j): uset.seq_str(int(j)) for j in idxs}
         ranked = sorted(
-            range(len(group)),
-            key=lambda g: (-group[g].depth, _canonical(group[g].seq)),
+            idxs, key=lambda j: (-uset.depth[j], _canonical(seqs[int(j)])),
         )
-        winner = group[ranked[0]]
-        for g in ranked[1:]:
-            u = group[g]
-            if seq_similarity(winner.seq, u.seq) < params.merge_similar:
+        win_seq = seqs[int(ranked[0])]
+        for j in ranked[1:]:
+            if seq_similarity(win_seq, seqs[int(j)]) < params.merge_similar:
                 continue
-            bad_nodes[u.node_ids] = True
+            bad_nodes[
+                uset.chain_nodes[uset.chain_bounds[j] : uset.chain_bounds[j + 1]]
+            ] = True
             if params.careful_bubble:
-                popped.append(PoppedBubble(u.seq, u.depth))
+                popped.append(PoppedBubble(seqs[int(j)], float(uset.depth[j])))
     return popped
 
 
 def analyze_round(
-    unitigs, in_deg: np.ndarray, out_deg: np.ndarray,
+    uset, in_deg: np.ndarray, out_deg: np.ndarray,
     pre: np.ndarray, suf: np.ndarray, ecnt: np.ndarray,
     k: int, params: CleanParams,
 ) -> CleanResult:
     """One cleaning round over a finished graph pass: tips, global and
-    local low depth, weak links, bubbles. Returns node/edge kill masks
-    and (careful mode) the popped bubble sequences."""
+    local low depth, weak links, bubbles. Takes the struct-of-arrays
+    :class:`~mitoflex_tpu.ops.dbg.UnitigSet`; every analysis is bulk
+    numpy with no per-unitig Python. Returns node/edge kill masks and
+    (careful mode) the popped bubble sequences."""
     n = len(in_deg)
     bad_nodes = np.zeros(n, dtype=bool)
     tip_len = 2 * k
     drop_ratio = {0: 0.0, 1: 0.3, 2: 0.5, 3: 0.7}[params.prune_level]
 
-    depths = np.asarray([u.depth for u in unitigs], np.float64)
+    U = uset.n
+    depths = uset.depth
+    lengths = uset.lengths
     med_depth = float(np.median(depths[depths > 0])) if (depths > 0).any() else 0.0
 
     # --- weak links (edge-level) -----------------------------------------
@@ -239,21 +243,22 @@ def analyze_round(
                                 params.disconnect_ratio)
 
     # --- unitig endpoints + single neighbors ------------------------------
-    entry = np.asarray([u.node_ids[0] for u in unitigs], np.int64)
-    exit_ = np.asarray([u.node_ids[-1] for u in unitigs], np.int64)
+    entry = uset.entry.astype(np.int64)
+    exit_ = uset.exit.astype(np.int64)
     pred, succ = _single_neighbors(pre, suf, in_deg, out_deg, entry, exit_)
 
     # --- local low depth (megahit RemoveLocalLowDepth analog) -------------
-    if params.low_local_ratio > 0 and len(unitigs):
+    if params.low_local_ratio > 0 and U:
         uidx = np.full(n, -1, np.int64)
-        for j, u in enumerate(unitigs):
-            uidx[u.node_ids] = j
+        uidx[uset.chain_nodes] = np.repeat(
+            np.arange(U, dtype=np.int64), uset.chain_counts
+        )
         # branch edges connect exit(u_a) -> entry(u_b)
         branch = (out_deg[pre] != 1) | (in_deg[suf] != 1)
         ua, ub = uidx[pre[branch]], uidx[suf[branch]]
         ok = (ua >= 0) & (ub >= 0) & (ua != ub)
-        nb_sum = np.zeros(len(unitigs), np.float64)
-        nb_cnt = np.zeros(len(unitigs), np.float64)
+        nb_sum = np.zeros(U, np.float64)
+        nb_cnt = np.zeros(U, np.float64)
         np.add.at(nb_sum, ua[ok], depths[ub[ok]])
         np.add.at(nb_cnt, ua[ok], 1.0)
         np.add.at(nb_sum, ub[ok], depths[ua[ok]])
@@ -261,27 +266,28 @@ def analyze_round(
         with np.errstate(invalid="ignore"):
             local_mean = np.where(nb_cnt > 0, nb_sum / np.maximum(nb_cnt, 1), 0.0)
     else:
-        local_mean = np.zeros(len(unitigs), np.float64)
+        local_mean = np.zeros(U, np.float64)
 
-    for j, u in enumerate(unitigs):
-        if u.circular:
-            continue
-        dead_start = in_deg[entry[j]] == 0
-        dead_end = out_deg[exit_[j]] == 0
-        is_tip = (dead_start or dead_end) and not (dead_start and dead_end) \
-            and len(u.seq) < tip_len
-        low = (0 < u.depth < params.prune_depth) or (
-            drop_ratio > 0 and 0 < u.depth < drop_ratio * med_depth
-            and len(u.seq) < tip_len
+    # --- tips + low depth, vectorized over the set -----------------------
+    if U:
+        dead_start = in_deg[entry] == 0
+        dead_end = out_deg[exit_] == 0
+        short = lengths < tip_len
+        is_tip = (dead_start ^ dead_end) & short
+        pos_depth = depths > 0
+        low = (pos_depth & (depths < params.prune_depth)) | (
+            (drop_ratio > 0) & pos_depth & (depths < drop_ratio * med_depth)
+            & short
         )
         local_low = (
-            params.low_local_ratio > 0 and local_mean[j] > 0
-            and 0 < u.depth < params.low_local_ratio * local_mean[j]
-            and len(u.seq) < tip_len
+            (params.low_local_ratio > 0) & (local_mean > 0) & pos_depth
+            & (depths < params.low_local_ratio * local_mean) & short
         )
-        if is_tip or low or local_low:
-            bad_nodes[u.node_ids] = True
+        bad_u = (~uset.circular) & (is_tip | low | local_low)
+        if bad_u.any():
+            sel = np.repeat(bad_u, uset.chain_counts)
+            bad_nodes[uset.chain_nodes[sel]] = True
 
     # --- bubbles -----------------------------------------------------------
-    bubbles = pop_bubbles(unitigs, pred, succ, k, params, bad_nodes)
+    bubbles = pop_bubbles(uset, pred, succ, k, params, bad_nodes)
     return CleanResult(bad_nodes=bad_nodes, bad_edges=bad_edges, bubbles=bubbles)

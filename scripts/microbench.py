@@ -338,6 +338,71 @@ def bench_merge(m=1 << 21, tile=1 << 13):
         print(f"{name:12s} 2x{m}: {dt*1e3:8.2f} ms  {2*m/dt/1e6:8.1f} Mkeys/s")
 
 
+def bench_unitig(n_unitigs=10_000_000, chain=3, k=31):
+    """Host-side per-unitig layer at scale (round-3 VERDICT weak #2 /
+    directive #4): a synthetic graph with `n_unitigs` unitigs of `chain`
+    nodes each runs unitig extraction + one cleaning round + strand dedup
+    as bulk numpy. Target: single-digit seconds per round at 10M unitigs.
+
+    The GraphPass is synthesized directly (host arrays in the device
+    layout) — this measures the formerly-Python layer, not the device
+    pass."""
+    import types
+
+    from mitoflex_tpu.ops import dbg as dbg_ops
+    from mitoflex_tpu.stages import graph_clean
+
+    rng = np.random.default_rng(0)
+    U, C = n_unitigs, chain
+    n = U * C
+    W = (k + 15) // 16
+    # chains: nodes [C*u .. C*u+C-1]; internal edges between consecutive
+    ids = np.arange(n, dtype=np.int32)
+    root = (ids // C) * C
+    offset = ids % C
+    link = rng.integers(1, 60, n).astype(np.uint32)
+    link[offset == 0] = 0
+    cyc = np.zeros(n, bool)
+    words = np.sort(
+        rng.integers(0, 2**32, (n, W), dtype=np.uint64).astype(np.uint32),
+        axis=0,
+    )
+    gp = types.SimpleNamespace(
+        n_nodes=n, root=root, offset=offset, link_count=link, is_cycle=cyc,
+        node_words=[words[:, w] for w in range(W)],
+    )
+    t0 = time.perf_counter()
+    uset = dbg_ops.unitig_set_from_pass(gp, k)
+    t_extract = time.perf_counter() - t0
+
+    # internal edges + 10% extra cross-unitig branch edges
+    pre_i = ids[offset < C - 1]
+    suf_i = pre_i + 1
+    nx = n // 10
+    pre_x = rng.integers(0, n, nx).astype(np.int64)
+    suf_x = rng.integers(0, n, nx).astype(np.int64)
+    pre = np.concatenate([pre_i.astype(np.int64), pre_x])
+    suf = np.concatenate([suf_i.astype(np.int64), suf_x])
+    ecnt = rng.integers(1, 60, len(pre)).astype(np.uint64)
+    out_deg = np.bincount(pre, minlength=n).astype(np.int32)
+    in_deg = np.bincount(suf, minlength=n).astype(np.int32)
+    params = graph_clean.CleanParams(prune_depth=2.0, prune_level=2,
+                                     bubble_level=2, disconnect_ratio=0.1,
+                                     low_local_ratio=0.2)
+    t0 = time.perf_counter()
+    res = graph_clean.analyze_round(uset, in_deg, out_deg, pre, suf, ecnt,
+                                    k, params)
+    t_round = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    keep = dbg_ops.dedup_strand_mask(uset, k)
+    t_dedup = time.perf_counter() - t0
+    print(
+        f"unitig {U/1e6:.0f}M : extract {t_extract:6.2f} s   "
+        f"clean-round {t_round:6.2f} s   dedup {t_dedup:6.2f} s   "
+        f"(bad_nodes {int(res.bad_nodes.sum())}, kept {int(keep.sum())})"
+    )
+
+
 if __name__ == "__main__":
     import jax
 
@@ -346,7 +411,7 @@ if __name__ == "__main__":
     table = {
         "filter": bench_filter, "kmer": bench_kmer, "viterbi": bench_viterbi,
         "sw": bench_sw, "genewise": bench_genewise, "psort": bench_psort,
-        "mapper": bench_mapper, "merge": bench_merge,
+        "mapper": bench_mapper, "merge": bench_merge, "unitig": bench_unitig,
     }
     for name, fn in table.items():
         if which in (name, "all"):
