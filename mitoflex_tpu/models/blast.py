@@ -71,17 +71,37 @@ def _pad_rows(rows: List[np.ndarray], fill: int, floor: int = 32) -> Tuple[np.nd
     return out, lens
 
 
-def _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend, fill, batch=64):
-    """Align row i of q_rows vs row i of t_rows; returns numpy SwHits."""
+def _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend, fill, batch=64,
+                mesh=None):
+    """Align row i of q_rows vs row i of t_rows; returns numpy SwHits.
+
+    With a >1-device ``mesh`` the (query, target) pairs shard over the
+    data axis (parallel.mesh.sw_align_sharded) — the TPU replacement for
+    the reference's tblastn query-DB multiprocessing.Pool
+    (annotation_tookit.py:74-97); per-row results are bit-identical to
+    the single-device kernel."""
+    ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     res = []
     for b0 in range(0, len(q_rows), batch):
         n = len(q_rows[b0 : b0 + batch])
         qs, ql = _pad_rows(q_rows[b0 : b0 + batch], fill)
         ts, tl = _pad_rows(t_rows[b0 : b0 + batch], fill)
-        hits = sw_ops.sw_align(
-            jnp.asarray(qs), jnp.asarray(ql), jnp.asarray(ts), jnp.asarray(tl),
-            jnp.asarray(submat), gap_open, gap_extend,
-        )
+        if ndev > 1 and len(ql) % ndev == 0:
+            from ..parallel import mesh as mesh_mod
+
+            dq, dql, dt, dtl = mesh_mod.shard_batch(
+                mesh, jnp.asarray(qs), jnp.asarray(ql), jnp.asarray(ts),
+                jnp.asarray(tl),
+            )
+            hits = mesh_mod.sw_align_sharded(
+                mesh, dq, dql, dt, dtl, jnp.asarray(submat),
+                gap_open, gap_extend,
+            )
+        else:
+            hits = sw_ops.sw_align(
+                jnp.asarray(qs), jnp.asarray(ql), jnp.asarray(ts), jnp.asarray(tl),
+                jnp.asarray(submat), gap_open, gap_extend,
+            )
         res.append([np.asarray(x)[:n] for x in hits])
     if not res:
         return None
@@ -191,6 +211,7 @@ def tblastn(
     gap_open: float = 12.0,   # BLAST 11 + ext 1 (see ops/sw.py convention)
     gap_extend: float = 1.0,
     window_slack: int = 30,
+    mesh=None,
 ) -> pd.DataFrame:
     """Protein queries vs translated contigs → outfmt-6 frame."""
     submat = codon.blosum62()
@@ -213,7 +234,8 @@ def tblastn(
                 t_rows.append(np.asarray(aa[lo:hi]))
                 meta.append((qi, ci, frame, lo))
 
-    out = _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend, codon.X_CODE)
+    out = _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend,
+                      codon.X_CODE, mesh=mesh)
     rows = []
     if out is not None:
         score, qf, qt, tf, tt, nid, ncol, ngo, ngc = out
@@ -259,6 +281,7 @@ def blastn(
     gap_extend: float = 2.0,
     window_slack: int = 50,
     skip_self: bool = False,
+    mesh=None,
 ) -> pd.DataFrame:
     """Nucleotide vs nucleotide → outfmt-6 frame (both strands)."""
     submat = sw_ops.nucleotide_matrix()
@@ -280,7 +303,8 @@ def blastn(
                 t_rows.append(codes[lo:hi])
                 meta.append((qi, si, strand, lo))
 
-    out = _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend, encoding.N)
+    out = _batched_sw(q_rows, t_rows, submat, gap_open, gap_extend,
+                      encoding.N, mesh=mesh)
     rows = []
     if out is not None:
         score, qf, qt, tf, tt, nid, ncol, ngo, ngc = out

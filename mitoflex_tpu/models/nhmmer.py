@@ -64,12 +64,42 @@ def _pad_pow2(n: int, floor: int = 8) -> int:
     return c
 
 
+def _scores_multi(stack, model_lens, seqs, lens, mesh):
+    """Pass-1 sweep, sharded over the window axis when a >1-device mesh is
+    given (parallel.mesh.viterbi_scores_multi_sharded) — bit-identical per
+    window to the single-device sweep."""
+    ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    if ndev > 1 and len(lens) % ndev == 0:
+        from ..parallel import mesh as mesh_mod
+
+        ds, dl = mesh_mod.shard_batch(mesh, jnp.asarray(seqs), jnp.asarray(lens))
+        return np.asarray(mesh_mod.viterbi_scores_multi_sharded(
+            mesh, stack, model_lens, ds, dl
+        ))
+    return np.asarray(phmm_ops.viterbi_scores_multi(
+        stack, model_lens, jnp.asarray(seqs), jnp.asarray(lens)
+    ))
+
+
+def _scan(prof, seqs, lens, model_len, mesh):
+    """Pass-2 envelope scan, sharded over windows when a mesh is given."""
+    ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    if ndev > 1 and len(lens) % ndev == 0:
+        from ..parallel import mesh as mesh_mod
+
+        ds, dl = mesh_mod.shard_batch(mesh, jnp.asarray(seqs), jnp.asarray(lens))
+        return mesh_mod.viterbi_scan_sharded(mesh, prof, ds, dl, model_len)
+    return phmm_ops.viterbi_scan(prof, jnp.asarray(seqs), jnp.asarray(lens),
+                                 model_len)
+
+
 def nhmmer_search(
     contigs: Sequence[FastaRecord],
     profiles: Sequence[ProfileHMM],
     e_threshold: float = 1e-3,
     score_threshold: float = 0.0,
     batch_windows: int = 512,
+    mesh=None,
 ) -> pd.DataFrame:
     """Scan every contig (both strands) against every profile.
 
@@ -79,7 +109,12 @@ def nhmmer_search(
     22 sequential ones). Windows within a group are uniform, with overlap
     = the group's largest model length, so every model's hits are still
     fully contained in some window. Shapes are bucketed to powers of two
-    to bound recompiles."""
+    to bound recompiles.
+
+    With a >1-device ``mesh`` both scan passes shard windows over the data
+    axis with the profile bank replicated (SURVEY §2 parallelism table —
+    the replacement for nhmmer's --cpu threads); results are
+    bit-identical to the single-device scan."""
     rows: List[dict] = []
     codes = [c.codes for c in contigs]
     rc_codes = [np.asarray(encoding.revcomp(x)) for x in codes]
@@ -124,11 +159,7 @@ def nhmmer_search(
                 lens[i] = w.length
             # pass 1: ALL group models score all windows in one call;
             # pass 2: envelopes per model for the (few) passing windows
-            pre_all = np.asarray(
-                phmm_ops.viterbi_scores_multi(
-                    stack, model_lens, jnp.asarray(seqs), jnp.asarray(lens)
-                )
-            )  # [M, Bp]
+            pre_all = _scores_multi(stack, model_lens, seqs, lens, mesh)  # [M, Bp]
             for mi, i_model in enumerate(idxs):
                 hmm, prof = staged[i_model]
                 L = hmm.length
@@ -161,9 +192,7 @@ def nhmmer_search(
                 for _round in range(4):
                     if not active:
                         break
-                    hits = phmm_ops.viterbi_scan(
-                        prof, jnp.asarray(seqs2), jnp.asarray(lens2), L
-                    )
+                    hits = _scan(prof, seqs2, lens2, L, mesh)
                     score = np.asarray(hits.score)
                     sf, st = np.asarray(hits.seq_from), np.asarray(hits.seq_to)
                     hf, ht = np.asarray(hits.hmm_from), np.asarray(hits.hmm_to)

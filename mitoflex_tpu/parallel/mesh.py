@@ -139,6 +139,79 @@ def _u32_bitcast_i32(x: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(x ^ jnp.uint32(0x80000000), jnp.int32)
 
 
+def _partition_merge_local(uw, uc, nu, ndev: int, W: int, inner_i32, slack: float):
+    """Per-device body of the all_to_all-partitioned merge: range-bucket a
+    sorted unique run, route bucket j to device j, merge the received
+    runs pairwise. Returns (*words, counts, n_unique[1], overflow)."""
+    M = uc.shape[0]
+    C = int(min(M, max(8, -(-int(M * slack) // ndev))))
+    if C >= 64:
+        # pow2 capacity (>=128) so the pairwise scattered merges can
+        # ride the Pallas bitonic merge on TPU (tiny inputs keep the
+        # exact cap and fall back to the lax.sort merge path)
+        C = min(max(128, 1 << (C - 1).bit_length()), M)
+    w0 = _u32_bitcast_i32(uw[0])
+    lo = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.searchsorted(w0, inner_i32).astype(jnp.int32),
+        jnp.full((1,), M, jnp.int32),
+    ])  # [ndev+1], ascending
+    iota = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0).squeeze(-1)
+    blocks = []
+    overflow = jnp.int32(0)
+    for j in range(ndev):
+        start = jnp.clip(lo[j], 0, M - C)
+        ridx = start + iota
+        ok = jnp.logical_and(ridx >= lo[j], ridx < lo[j + 1])
+        # keys stay the RAW sorted slice (out-of-bucket rows keep
+        # their — possibly foreign-range — keys); only counts are
+        # masked. Masking keys to all-ones would put pad rows at the
+        # FRONT whenever start was clipped below lo[j], breaking the
+        # ascending-run precondition of the Pallas bitonic merge
+        # downstream. Foreign keys ride with count 0 and vanish in
+        # scattered_to_unique's totals>0 compaction.
+        cols = [jax.lax.dynamic_slice_in_dim(w, start, C) for w in uw]
+        cols.append(
+            jnp.where(ok, jax.lax.dynamic_slice_in_dim(uc, start, C),
+                      jnp.uint32(0))
+        )
+        blocks.append(jnp.stack(cols, axis=-1))  # [C, W+1]
+        # overflow over REAL rows only (first nu rows are valid keys;
+        # the padding tail rides in the last bucket with zero counts)
+        hi_real = jnp.minimum(lo[j + 1], nu)
+        lo_real = jnp.minimum(lo[j], nu)
+        overflow += jnp.maximum(hi_real - lo_real - C, 0)
+    x = jnp.stack(blocks, axis=0)  # [ndev, C, W+1]
+    # route bucket j to device j; receive one block from every device
+    x = jax.lax.all_to_all(x, "data", split_axis=0, concat_axis=0,
+                           tiled=False)
+    # each received bucket is a sorted scattered run (unique keys,
+    # counts>0, all-ones/0 padding): merge them PAIRWISE with the
+    # scattered merge (Pallas bitonic merge on TPU — ~8x the flat
+    # (W+1)-key sort this replaced) and compact once at the end
+    runs = [([x[j, :, i] for i in range(W)], x[j, :, W])
+            for j in range(ndev)]
+    while len(runs) > 1:
+        nxt = []
+        for a, b in zip(runs[::2], runs[1::2]):
+            nxt.append(kmer_ops.merge_scattered(a[0], a[1], b[0], b[1]))
+        if len(runs) % 2:
+            nxt.append(runs[-1])
+        runs = nxt
+    mw, mc, mn = kmer_ops.scattered_to_unique(runs[0][0], runs[0][1])
+    total_overflow = jax.lax.psum(overflow, "data")
+    return (*mw, mc, mn.reshape(1), total_overflow)
+
+
+def _inner_boundaries_i32(ndev: int) -> jax.Array:
+    """The ndev-1 inner word0 range boundaries (uniform over uint32),
+    mapped through the order-preserving u32->i32 bitcast."""
+    inner = [((j * (1 << 32)) // ndev) ^ (1 << 31) for j in range(1, ndev)]
+    return jnp.asarray(
+        [b - (1 << 32) if b >= (1 << 31) else b for b in inner], jnp.int32
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mesh", "slack"))
 def count_kmers_sharded_partitioned(
     mesh: Mesh, seqs: jax.Array, lengths: jax.Array, k: int, slack: float = 2.0
@@ -167,76 +240,11 @@ def count_kmers_sharded_partitioned(
     """
     ndev = int(np.prod(mesh.devices.shape))
     W = kmer_ops.num_words(k)
-    # static word0 range boundaries (uniform over the uint32 space),
-    # mapped through the same order-preserving u32->i32 bitcast as the keys;
-    # only the ndev-1 INNER boundaries are searched — bucket 0 starts at row
-    # 0 and the last bucket runs to the end (padding rows there carry zero
-    # counts and vanish in the merge)
-    inner = [((j * (1 << 32)) // ndev) ^ (1 << 31) for j in range(1, ndev)]
-    inner_i32 = jnp.asarray(
-        [b - (1 << 32) if b >= (1 << 31) else b for b in inner], jnp.int32
-    )
+    inner_i32 = _inner_boundaries_i32(ndev)
 
     def local(s, l):
         uw, uc, nu = _local_count_both_strands(s, l, k)
-        M = uc.shape[0]
-        C = int(min(M, max(8, -(-int(M * slack) // ndev))))
-        if C >= 64:
-            # pow2 capacity (>=128) so the pairwise scattered merges can
-            # ride the Pallas bitonic merge on TPU (tiny inputs keep the
-            # exact cap and fall back to the lax.sort merge path)
-            C = min(max(128, 1 << (C - 1).bit_length()), M)
-        w0 = _u32_bitcast_i32(uw[0])
-        lo = jnp.concatenate([
-            jnp.zeros((1,), jnp.int32),
-            jnp.searchsorted(w0, inner_i32).astype(jnp.int32),
-            jnp.full((1,), M, jnp.int32),
-        ])  # [ndev+1], ascending
-        iota = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0).squeeze(-1)
-        blocks = []
-        overflow = jnp.int32(0)
-        for j in range(ndev):
-            start = jnp.clip(lo[j], 0, M - C)
-            ridx = start + iota
-            ok = jnp.logical_and(ridx >= lo[j], ridx < lo[j + 1])
-            # keys stay the RAW sorted slice (out-of-bucket rows keep
-            # their — possibly foreign-range — keys); only counts are
-            # masked. Masking keys to all-ones would put pad rows at the
-            # FRONT whenever start was clipped below lo[j], breaking the
-            # ascending-run precondition of the Pallas bitonic merge
-            # downstream. Foreign keys ride with count 0 and vanish in
-            # scattered_to_unique's totals>0 compaction.
-            cols = [jax.lax.dynamic_slice_in_dim(w, start, C) for w in uw]
-            cols.append(
-                jnp.where(ok, jax.lax.dynamic_slice_in_dim(uc, start, C),
-                          jnp.uint32(0))
-            )
-            blocks.append(jnp.stack(cols, axis=-1))  # [C, W+1]
-            # overflow over REAL rows only (first nu rows are valid keys;
-            # the padding tail rides in the last bucket with zero counts)
-            hi_real = jnp.minimum(lo[j + 1], nu)
-            lo_real = jnp.minimum(lo[j], nu)
-            overflow += jnp.maximum(hi_real - lo_real - C, 0)
-        x = jnp.stack(blocks, axis=0)  # [ndev, C, W+1]
-        # route bucket j to device j; receive one block from every device
-        x = jax.lax.all_to_all(x, "data", split_axis=0, concat_axis=0,
-                               tiled=False)
-        # each received bucket is a sorted scattered run (unique keys,
-        # counts>0, all-ones/0 padding): merge them PAIRWISE with the
-        # scattered merge (Pallas bitonic merge on TPU — ~8x the flat
-        # (W+1)-key sort this replaced) and compact once at the end
-        runs = [([x[j, :, i] for i in range(W)], x[j, :, W])
-                for j in range(ndev)]
-        while len(runs) > 1:
-            nxt = []
-            for a, b in zip(runs[::2], runs[1::2]):
-                nxt.append(kmer_ops.merge_scattered(a[0], a[1], b[0], b[1]))
-            if len(runs) % 2:
-                nxt.append(runs[-1])
-            runs = nxt
-        mw, mc, mn = kmer_ops.scattered_to_unique(runs[0][0], runs[0][1])
-        total_overflow = jax.lax.psum(overflow, "data")
-        return (*mw, mc, mn.reshape(1), total_overflow)
+        return _partition_merge_local(uw, uc, nu, ndev, W, inner_i32, slack)
 
     outs = jax.shard_map(
         local, mesh=mesh,
@@ -245,6 +253,80 @@ def count_kmers_sharded_partitioned(
         # the psum'd overflow is replicated by construction
         check_vma=False,
     )(seqs, lengths)
+    return list(outs[:W]), outs[W], outs[W + 1], outs[W + 2]
+
+
+# ------------------------------------------------- sharded k-mer LSM kernels
+@functools.partial(jax.jit, static_argnames=("k", "canonical", "mesh"))
+def count_chunk_scattered_sharded(
+    mesh: Mesh, seqs: jax.Array, lengths: jax.Array, k: int,
+    canonical: bool = True,
+):
+    """Per-device scattered chunk counting (the sharded analog of
+    kmer.count_chunk_scattered): each device sort-counts its read shard;
+    the result is a SHARDED scattered run — per-shard ascending, globally
+    unordered. No communication."""
+
+    def local(s, l):
+        w, c = kmer_ops.count_chunk_scattered(s, l, k, canonical)
+        return (*w, c)
+
+    W = kmer_ops.num_words(k)
+    outs = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data")),
+        out_specs=(P("data"),) * (W + 1),
+        check_vma=False,
+    )(seqs, lengths)
+    return list(outs[:W]), outs[W]
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "n_words"))
+def merge_scattered_sharded(mesh: Mesh, n_words: int, *flat):
+    """Pairwise merge of two SHARDED scattered runs, each device merging
+    its local pair (no communication). ``flat`` is
+    (*a_words, a_counts, *b_words, b_counts)."""
+    W = n_words
+
+    def local(*args):
+        aw, ac = list(args[:W]), args[W]
+        bw, bc = list(args[W + 1 : 2 * W + 1]), args[2 * W + 1]
+        mw, mc = kmer_ops.merge_scattered(aw, ac, bw, bc)
+        return (*mw, mc)
+
+    outs = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"),) * (2 * W + 2),
+        out_specs=(P("data"),) * (W + 1),
+        check_vma=False,
+    )(*flat)
+    return list(outs[:W]), outs[W]
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "slack"))
+def partition_scattered_sharded(mesh: Mesh, words, counts, slack: float = 2.0):
+    """Final extraction of a sharded scattered LSM run: compact each
+    device's run to sorted-unique, range-partition by key, ONE all_to_all
+    so device j receives range j from everyone, merge. After this, shard j
+    holds the exact global table of key range j (ascending across shards —
+    host concat of the valid rows IS the global sorted table).
+
+    Returns (words sharded, counts sharded, n_unique [ndev], overflow)."""
+    ndev = int(np.prod(mesh.devices.shape))
+    W = len(words)
+    inner_i32 = _inner_boundaries_i32(ndev)
+
+    def local(*flat):
+        ws, cs = list(flat[:W]), flat[W]
+        uw, uc, nu = kmer_ops.scattered_to_unique(ws, cs)
+        return _partition_merge_local(uw, uc, nu, ndev, W, inner_i32, slack)
+
+    outs = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"),) * (W + 1),
+        out_specs=(*([P("data")] * W), P("data"), P("data"), P()),
+        check_vma=False,
+    )(*words, counts)
     return list(outs[:W]), outs[W], outs[W + 1], outs[W + 2]
 
 
@@ -278,6 +360,29 @@ def map_reads_sharded(
         in_specs=(P("data", None), P("data")),
         out_specs=(P("data"),) * 5,
         # replicated index + sharded reads mix in the join sorts
+        check_vma=False,
+    )(seqs, lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def viterbi_scores_multi_sharded(
+    mesh: Mesh,
+    profs: phmm_ops.DeviceProfile,
+    model_lens: jax.Array,
+    seqs: jax.Array,
+    lengths: jax.Array,
+) -> jax.Array:
+    """The nhmmer pass-1 sweep over a mesh: windows sharded on the batch
+    axis, the stacked profile bank replicated. [M, B] scores with B
+    sharded — bit-identical per window to the single-device sweep."""
+
+    def local(s, l):
+        return phmm_ops.viterbi_scores_multi(profs, model_lens, s, l)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data")),
+        out_specs=P(None, "data"),
         check_vma=False,
     )(seqs, lengths)
 

@@ -129,7 +129,8 @@ def run_assemble(ctx: PipelineContext, clean1: str, clean2: Optional[str] = None
     out = wd.stage_file("assemble", "contigs.fa")
     assemble(ctx.cfg.assemble, clean1, clean2, out,
              max_read_len=ctx.cfg.filter.max_read_len,
-             host_shard=(0, 1) if inputs_sharded else None)
+             host_shard=(0, 1) if inputs_sharded else None,
+             mesh=ctx.mesh, spill_dir=wd.stage_dir("assemble"))
     if not ctx.cfg.assemble.disable_scaffolding and clean2:
         out2 = wd.stage_file("assemble", "scaffolds.fa")
         scaffold_contigs(ctx.cfg.assemble, out, clean1, clean2, out2)
@@ -176,6 +177,7 @@ def run_findmitoscaf(
         taxonomy=ctx.taxonomy, gene_code=ctx.gene_code,
         max_contig_len=ctx.cfg.annotate.max_contig_length,
         basedir=wd.stage_dir("findmitoscaf"), prefix=ctx.cfg.run.workname,
+        mesh=ctx.mesh,
     )
     # reference naming: {workname}.picked.fa (findmitoscaf.py:348)
     name = f"{ctx.cfg.run.workname}.picked.fa"
@@ -198,6 +200,7 @@ def run_annotate(ctx: PipelineContext, picked_path: str) -> Tuple[Dict, str, boo
     res = annotate(
         ctx.cfg.annotate, records, ctx.profiles, ctx.cfg.annotate.clade,
         gene_code=ctx.gene_code, basedir=basedir, prefix=ctx.cfg.run.workname,
+        mesh=ctx.mesh,
     )
     for name in ("locs.json", f"{ctx.cfg.run.workname}.annotated.cds.fa",
                  f"{ctx.cfg.run.workname}.annotated.rna.fa"):

@@ -223,6 +223,7 @@ def annotate(
     gene_code: Optional[int] = None,
     basedir: Optional[str] = None,
     prefix: str = "mitoflex",
+    mesh=None,
 ) -> AnnotateResult:
     table_id = gene_code or cfg.genetic_code or profiles.genetic_code(clade)
     records, circular = fix_circular(records) if cfg.trim_circular else (records, False)
@@ -237,7 +238,7 @@ def annotate(
 
     # the reference's annotate entry passes score=5 into blast_to_csv
     # (annotation.py:56-58,84), laxer than findmitoscaf's default of 25
-    frame = blast_models.tblastn(db_records, records, table_id)
+    frame = blast_models.tblastn(db_records, records, table_id, mesh=mesh)
     frame = blast_models.blast_filter(frame, cfg.min_identity, 5.0, cfg.qcover_ratio)
     if frame.empty:
         raise RuntimeError(
@@ -250,7 +251,7 @@ def annotate(
         if flipped:
             logger.info("annotate: genome reversed; re-running the translated search")
             genome = {r.id: r for r in records}
-            frame = blast_models.tblastn(db_records, records, table_id)
+            frame = blast_models.tblastn(db_records, records, table_id, mesh=mesh)
             frame = blast_models.blast_filter(frame, cfg.min_identity, 5.0, cfg.qcover_ratio)
             washed = blast_models.wash_blast_results(frame, cfg.overlap_ratio)
 
@@ -285,7 +286,8 @@ def annotate(
         from ..models import nhmmer
 
         hmms = [m for m in profiles.cds_hmms(clade) if m.name in cds_notfound]
-        hf = nhmmer.nhmmer_search(records, hmms, e_threshold=cfg.hmmer_e,
+        hf = nhmmer.nhmmer_search(records, hmms, mesh=mesh,
+                                  e_threshold=cfg.hmmer_e,
                                   score_threshold=cfg.hmmer_score)
         hmmer_frame = hf if not hf.empty else None
     elif cds_notfound:

@@ -67,10 +67,11 @@ def taxonomy_filter(
     required_taxa: str,
     gene_code: int,
     relaxing: int = 0,
+    mesh=None,
 ) -> pd.DataFrame:
     """reference filter_taxanomy (findmitoscaf.py:392-436)."""
     db = profiles.merged_protein_db()
-    frame = blast_models.tblastn(db, list(contigs), gene_code)
+    frame = blast_models.tblastn(db, list(contigs), gene_code, mesh=mesh)
     frame = blast_models.blast_filter(frame)
     if frame.empty:
         logger.warn("taxonomy_filter: no tblastn hits; keeping nothing")
@@ -238,6 +239,7 @@ def findmitoscaf(
     max_contig_len: int = 20000,
     basedir: Optional[str] = None,
     prefix: str = "mitoflex",
+    mesh=None,
     _recurse: bool = False,
 ) -> FindMitoResult:
     if cfg.merge_method == 0 and not _recurse:
@@ -247,7 +249,8 @@ def findmitoscaf(
         logger.info(f"findmitoscaf: merged {n} sequences (global method)")
 
     hmms = profiles.cds_hmms(clade)
-    hmm_frame = nhmmer.nhmmer_search(contigs, hmms, e_threshold=1e-3, score_threshold=5.0)
+    hmm_frame = nhmmer.nhmmer_search(contigs, hmms, e_threshold=1e-3,
+                                     score_threshold=5.0, mesh=mesh)
     if hmm_frame.empty:
         raise RuntimeError(
             "The result from nhmmer is empty! Please check if the data is "
@@ -262,7 +265,7 @@ def findmitoscaf(
         try:
             hmm_frame = taxonomy_filter(
                 hmm_contigs, hmm_frame, profiles, taxonomy,
-                cfg.required_taxa, gene_code, cfg.taxa_tolerance,
+                cfg.required_taxa, gene_code, cfg.taxa_tolerance, mesh=mesh,
             )
         except FileNotFoundError:
             logger.warn("findmitoscaf: no protein DB for taxa filter; skipping")
@@ -324,7 +327,7 @@ def findmitoscaf(
             sub_cfg = SearchConfig(**{**cfg.__dict__, "merge_method": 2, "split_two": False})
             sub = findmitoscaf(
                 sub_cfg, picked, profiles, clade, taxonomy, gene_code,
-                max_contig_len, _recurse=True,
+                max_contig_len, mesh=mesh, _recurse=True,
             )
             picked = sub.picked
             selected, found, missing = sub.selected_candidates, sub.found_pcgs, sub.missing_pcgs
