@@ -49,6 +49,7 @@ BASELINE_BASES_PER_SEC = 5e9 / 300.0  # reference: 5 Gbp / ~5 min, 8 threads
 REF_GOLDEN_E2E_S = 180.0              # reference golden sample (README.md:116)
 CHILD_TIMEOUT_S = int(os.environ.get("MITOFLEX_BENCH_TIMEOUT", "900"))
 E2E_TIMEOUT_S = int(os.environ.get("MITOFLEX_BENCH_E2E_TIMEOUT", "720"))
+GOLDEN_TIMEOUT_S = int(os.environ.get("MITOFLEX_BENCH_GOLDEN_TIMEOUT", "2400"))
 COOLDOWN_S = 75  # tunnel session release after killing a wedged child
 
 
@@ -266,6 +267,94 @@ def _child_e2e() -> int:
     return 0
 
 
+def _child_e2e_golden() -> int:
+    """CPU child: full pipeline at GOLDEN-SAMPLE volume (round-3 VERDICT
+    directive #7) — a 16 kb mitogenome at ~400x bp coverage with 1%
+    errors plus nuclear background (several Mbp of reads, the data volume
+    of the reference's ~3-min golden sample), with a per-stage wall
+    breakdown."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import pathlib
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+    from mitoflex_tpu.utils import compile_cache
+
+    compile_cache.enable()
+    from tests import profile_fixture, synth  # noqa: E402
+
+    rng = np.random.default_rng(2026)
+    tmp = tempfile.mkdtemp(prefix="mitoflex_bench_g_")
+    # spacer scaled so the fixture genome is ~16 kb like the real thing
+    fake = profile_fixture.build(pathlib.Path(tmp), rng, spacer=2990)
+    nuclear = [synth.random_genome(rng, 8000) for _ in range(2)]
+
+    glen = len(fake.genome)
+    pairs = synth.shotgun_reads(
+        rng, fake.genome, glen * 400 // 300, read_len=150, insert=300,
+        circular=True, error_rate=0.01,
+    )
+    for g in nuclear:
+        pairs += synth.shotgun_reads(
+            rng, g, 8000 * 12 // 300, read_len=150, insert=300,
+            error_rate=0.01,
+        )
+    order = rng.permutation(len(pairs))
+    pairs = [pairs[i] for i in order]
+    f1 = synth.write_fastq(os.path.join(tmp, "r1.fq"), [p[0] for p in pairs])
+    f2 = synth.write_fastq(os.path.join(tmp, "r2.fq"), [p[1] for p in pairs])
+    bases = sum(len(x[0]) + len(y[0]) for x, y in pairs)
+
+    from mitoflex_tpu import pipeline as pl
+    from mitoflex_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    cfg.run.workname = "bench_golden"
+    cfg.run.basedir = tmp
+    cfg.run.profile_dir = fake.profile_dir
+    cfg.filter.max_read_len = 160
+    cfg.assemble.kmer_list = [31, 55, 91, 119]
+    cfg.assemble.depth_list = [10, 20, 50, 50]
+    cfg.assemble.read_chunk = 8192
+    cfg.search.min_abundance = 10
+    cfg.search.disable_taxa = True
+    cfg.annotate.clade = fake.clade
+    cfg.annotate.genetic_code = 5
+
+    walls = {}
+    t_all = time.perf_counter()
+    ctx = pl.PipelineContext.create(cfg)
+    t0 = time.perf_counter()
+    res = pl.run_filter(ctx, f1, f2)
+    walls["filter"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    contigs = pl.run_assemble(ctx, res.clean1, res.clean2, inputs_sharded=True)
+    walls["assemble"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    picked = pl.run_findmitoscaf(ctx, contigs)
+    walls["findmitoscaf"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    locs, locs_path, circular = pl.run_annotate(ctx, picked)
+    walls["annotate"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    pl.run_visualize(ctx, picked, locs, res.clean1, res.clean2,
+                     circular=circular)
+    walls["visualize"] = round(time.perf_counter() - t0, 1)
+    wall = time.perf_counter() - t_all
+    ok = bool(locs) and len(locs) >= 3
+    print(json.dumps({
+        "e2e_golden_wall_s": round(wall, 1),
+        "e2e_golden_bases": bases,
+        "e2e_golden_stage_walls": walls,
+        "e2e_golden_ok": ok,
+    }))
+    return 0
+
+
 def _run_child(extra_env: dict, arg: str = "--child", timeout: int | None = None) -> dict | None:
     """Run one measurement child; return its parsed JSON line or None."""
     env = dict(os.environ, **extra_env)
@@ -290,12 +379,48 @@ def _run_child(extra_env: dict, arg: str = "--child", timeout: int | None = None
     return None
 
 
+def _spawn_child(arg: str, extra_env: dict) -> "subprocess.Popen":
+    env = dict(os.environ, **extra_env)
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), arg],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+    )
+
+
+def _collect_child(proc: "subprocess.Popen", timeout: int) -> dict | None:
+    try:
+        out, err = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        print("# parallel bench child timed out", file=sys.stderr)
+        return None
+    for line in err.splitlines():
+        print(line, file=sys.stderr)
+    for line in reversed(out.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                return None
+    return None
+
+
 def main() -> int:
     if "--child" in sys.argv:
         return _child()
     if "--child-e2e" in sys.argv:
         return _child_e2e()
+    if "--child-e2e-golden" in sys.argv:
+        return _child_e2e_golden()
+    if "--child-soak" in sys.argv:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts import soakbench
 
+        return soakbench.main()
+
+    t_start = time.perf_counter()
     dev = _run_child({})
     if dev is None:
         print(f"# retrying after {COOLDOWN_S}s tunnel cooldown", file=sys.stderr)
@@ -311,9 +436,16 @@ def main() -> int:
     if dev is None:
         return 1
 
-    # the e2e child is CPU-only and never touches the device tunnel
-    e2e = _run_child({"JAX_PLATFORMS": "cpu"}, arg="--child-e2e",
-                     timeout=E2E_TIMEOUT_S)
+    # CPU-only children (never touch the device tunnel); the golden-volume
+    # e2e and the kmin soak run in PARALLEL with the small e2e
+    cpu_env = {"JAX_PLATFORMS": "cpu"}
+    golden_proc = _spawn_child("--child-e2e-golden", cpu_env)
+    soak_proc = _spawn_child("--child-soak", cpu_env)
+    e2e = _run_child(cpu_env, arg="--child-e2e", timeout=E2E_TIMEOUT_S)
+    budget = max(int(GOLDEN_TIMEOUT_S - (time.perf_counter() - t_start)), 60)
+    golden = _collect_child(golden_proc, budget)
+    budget = max(int(GOLDEN_TIMEOUT_S - (time.perf_counter() - t_start)), 60)
+    soak = _collect_child(soak_proc, budget)
 
     bases_per_sec = dev["filter_gbase_s"] * 1e9
     extras = {"kmer_count_mkeys_s": dev.get("kmer_count_mkeys_s"),
@@ -324,6 +456,19 @@ def main() -> int:
         extras["e2e_vs_ref_golden"] = round(
             REF_GOLDEN_E2E_S / e2e["e2e_fixture_wall_s"], 2
         )
+    if golden and golden.get("e2e_golden_ok"):
+        extras["e2e_golden_wall_s"] = golden["e2e_golden_wall_s"]
+        extras["e2e_golden_bases"] = golden["e2e_golden_bases"]
+        extras["e2e_golden_stage_walls"] = golden["e2e_golden_stage_walls"]
+        extras["e2e_golden_vs_ref"] = round(
+            REF_GOLDEN_E2E_S / golden["e2e_golden_wall_s"], 2
+        )
+    if soak:
+        for k in ("soak_gbp", "soak_count_wall_s", "soak_gate_wall_s",
+                  "soak_graph_wall_s", "soak_peak_rss_gb", "soak_spilled",
+                  "soak_mito_recovered"):
+            if k in soak:
+                extras[k] = soak[k]
     print(json.dumps({
         "metric": "filter_device_throughput",
         "value": round(bases_per_sec / 1e9, 4),

@@ -91,11 +91,24 @@ class KmerCounter:
     def __init__(self, k: int, chunk_rows: int = 4096, canonical: bool = False,
                  max_device_rows: int = 1 << 26,
                  spill_rows: int = 1 << 27, spill_dir: Optional[str] = None,
-                 spill_buckets: int = 64):
+                 spill_buckets: int = 64, prefer_host: Optional[bool] = None):
         self.k = k
         self.chunk_rows = chunk_rows
         self.canonical = canonical
         self.max_device_rows = max_device_rows
+        if prefer_host is None:
+            # the device LSM's pairwise sorted merges are built for the
+            # TPU (Pallas bitonic merge, 3.3G keys/s measured); XLA's CPU
+            # lax.sort runs them ~3 orders slower than the native host
+            # merge, so the CPU backend compacts each chunk and merges on
+            # host instead
+            import jax
+
+            try:
+                prefer_host = jax.default_backend() == "cpu"
+            except Exception:
+                prefer_host = False
+        self.prefer_host = prefer_host
         self.spill_rows = spill_rows
         self.spill_dir = spill_dir
         self.spill_buckets = spill_buckets
@@ -132,6 +145,7 @@ class KmerCounter:
         )
 
     def _push(self, run: Tuple[np.ndarray, np.ndarray]) -> None:
+        self._cache_valid = False
         if self._spill is not None:
             self.peak_host_rows = max(self.peak_host_rows, len(run[1]))
             self._spill.append(run[0], run[1])
@@ -181,6 +195,13 @@ class KmerCounter:
             return
         self._cache_valid = False
         if weights is None:
+            if self.prefer_host:
+                keys, counts = kmer_ops.count_chunk_host(
+                    seqs, lengths, self.k, canonical=self.canonical
+                )
+                if len(keys):
+                    self._push((keys, counts))
+                return
             run = kmer_ops.count_chunk_scattered(
                 jnp.asarray(seqs), jnp.asarray(lengths), self.k, self.canonical
             )

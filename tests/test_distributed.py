@@ -161,3 +161,50 @@ def test_assemble_host_sharded_reconstructs_genome(tmp_path, rng):
     recs = fasta.load_fasta(out)
     best = max(recs, key=lambda r: len(r.seq))
     assert len(best.seq) >= 1400
+
+
+def test_assemble_host_merged_matches_single(tmp_path, rng):
+    """Round-3 VERDICT directive #8: 3 simulated hosts each count ONLY
+    their record-aligned byte range; merging the per-host canonical
+    tables (the host-side analog of the cross-host all_to_all) and
+    gating reproduces the single-host edge table and contig set
+    EXACTLY."""
+    from mitoflex_tpu.io import fastq
+    from mitoflex_tpu.ops import kmer as kmer_ops
+    from mitoflex_tpu.stages import assemble as asm
+    from mitoflex_tpu.stages import graph_clean
+
+    g = synth.random_genome(rng, 2000)
+    reads = synth.shotgun_reads(rng, g, 800, read_len=100, error_rate=0.003)
+    p = synth.write_fastq(tmp_path / "r.fq", reads)
+    k, min_multi = 21, 3
+
+    def src_range(byte_range):
+        def src():
+            for b in fastq.read_batches(str(p), 256, 128, byte_range=byte_range):
+                yield b.seqs, b.lengths
+        return src
+
+    # single-host reference
+    ref_keys, ref_counts = asm.count_edges(src_range(None), k, min_multi)
+
+    # 3 hosts: per-host canonical counters over byte ranges, host-merged
+    merged = asm.KmerCounter(k + 1, canonical=True)
+    for pid in range(3):
+        r = dist.host_file_range(str(p), pid, 3)
+        host = asm.KmerCounter(k + 1, canonical=True)
+        for seqs, lengths in src_range(r)():
+            host.add_chunk(seqs, lengths)
+        m = host._merged()
+        if m is not None:
+            merged._push(m)
+    mk, mc = asm.count_edges(lambda: iter(()), k, min_multi, counter=merged)
+    np.testing.assert_array_equal(ref_keys, mk)
+    np.testing.assert_array_equal(ref_counts, mc)
+
+    clean = graph_clean.CleanParams(prune_depth=2, prune_level=2)
+    want, _ = asm.assemble_k(ref_keys, ref_counts, k, clean, min_standalone=200)
+    got, _ = asm.assemble_k(mk, mc, k, clean, min_standalone=200)
+    assert [(c.seq, c.depth, c.circular) for c in want] == \
+        [(c.seq, c.depth, c.circular) for c in got]
+    assert max(len(c.seq) for c in got) >= 1900

@@ -546,7 +546,8 @@ def test_kmer_counter_spill_path(rng):
     g = synth.random_genome(rng, 1200)
     reads = [r for r, _ in synth.shotgun_reads(rng, g, 300, read_len=70)]
     k = 25
-    counter = KmerCounter(k, canonical=True, max_device_rows=4096)
+    counter = KmerCounter(k, canonical=True, max_device_rows=4096,
+                          prefer_host=False)
     for i in range(0, len(reads), 60):
         seqs, lens = _to_batch(reads[i : i + 60], 80)
         counter.add_chunk(seqs, lens)

@@ -59,7 +59,7 @@ def test_spilled_counter_exact_and_bounded(tmp_path, rng):
     ref = KmerCounter(k, canonical=True)
     spl = KmerCounter(k, canonical=True, max_device_rows=4096,
                       spill_rows=2048, spill_dir=str(tmp_path),
-                      spill_buckets=16)
+                      spill_buckets=16, prefer_host=False)
     for seqs, lens in chunks:
         ref.add_chunk(seqs, lens)
         spl.add_chunk(seqs, lens)
