@@ -97,10 +97,13 @@ class AssembleConfig:
                                      # sweet spot; amortizes per-chunk
                                      # dispatch at multi-Gbp scale)
     max_contigs: int = 1 << 16       # static bound on contig table size
-    prefilter_reads: bool = True     # at k>kmin, only count reads mapping to
-                                     # surviving contigs (the depth-gated
-                                     # graph concentration applied at the
-                                     # read level; megahit-iterate analog)
+    prefilter_reads: bool = False    # at k>kmin, only count reads mapping to
+                                     # surviving contigs — a speed knob that
+                                     # can ALTER results (measured: dropped
+                                     # circularity at a 400x fixture's final
+                                     # k). Default off = megahit semantics
+                                     # (all reads at every k, reference
+                                     # assemble_wrapper.py:298-315)
 
 
 @dataclass

@@ -536,6 +536,80 @@ def count_chunk_host(
     return keys, cnt
 
 
+def count_chunk_numpy(
+    seqs, lengths, k: int, canonical: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy chunk counting for k <= 32 (W <= 2): rolling 2-bit pack
+    into uint64 (one columnwise pass per window position — O(B) work per
+    step, no [B, n, k] blowup), validity via a bad-base cumsum window,
+    value sort + run-length count. Same output contract as
+    count_chunk_host (sorted left-aligned keys, uint64 counts).
+
+    This is the host backend's hot path: XLA:CPU's variadic lax.sort runs
+    ~4x slower than np.sort on packed values (and this sandbox's DRAM is
+    heavily throttled, so pass count is what matters)."""
+    seqs = np.asarray(seqs)
+    lengths = np.asarray(lengths)
+    B, L = seqs.shape
+    n = L - k + 1
+    W = num_words(k)
+    assert W <= 2, "count_chunk_numpy requires k <= 32"
+    empty = (np.zeros((0, W), np.uint32), np.zeros(0, np.uint64))
+    if B == 0 or n <= 0:
+        return empty
+    bad = seqs >= 4
+    cc = np.where(bad, 0, seqs).astype(np.uint64)
+    badc = np.cumsum(bad, axis=1, dtype=np.int32)
+    nb = badc[:, k - 1 :].copy()
+    nb[:, 1:] -= badc[:, : n - 1]
+    valid = (nb == 0) & ((np.arange(n)[None, :] + k) <= lengths[:, None])
+    if not valid.any():
+        return empty
+    v = np.empty((B, n), np.uint64)
+    acc = np.zeros(B, np.uint64)
+    for i in range(k):
+        acc = (acc << np.uint64(2)) | cc[:, i]
+    v[:, 0] = acc
+    mask = np.uint64((1 << (2 * k)) - 1) if k < 32 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    for j in range(1, n):
+        acc = ((acc << np.uint64(2)) | cc[:, j + k - 1]) & mask
+        v[:, j] = acc
+    # reverse-complement windows (rolling from the high end)
+    r = np.empty((B, n), np.uint64)
+    racc = np.zeros(B, np.uint64)
+    for i in range(k - 1, -1, -1):
+        racc = (racc << np.uint64(2)) | (np.uint64(3) - cc[:, i])
+    r[:, 0] = racc
+    top = np.uint64(2 * (k - 1))
+    for j in range(1, n):
+        racc = (racc >> np.uint64(2)) | (
+            (np.uint64(3) - cc[:, j + k - 1]) << top
+        )
+        r[:, j] = racc
+    if canonical:
+        # min of the two orientations, one entry per window
+        np.minimum(v, r, out=v)
+        vals = v[valid]
+    else:
+        # both-strand contract (matches count_chunk_runs canonical=False):
+        # every window contributes its forward AND its RC k-mer
+        vals = np.concatenate([v[valid], r[valid]])
+    if k < 32:
+        vals <<= np.uint64(2 * (32 - k))  # left-align like the device keys
+    vals.sort()
+    new = np.empty(len(vals), bool)
+    new[0] = True
+    np.not_equal(vals[1:], vals[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(vals))).astype(np.uint64)
+    u = vals[starts]
+    keys = np.empty((len(u), W), np.uint32)
+    keys[:, 0] = (u >> np.uint64(32)).astype(np.uint32)
+    if W == 2:
+        keys[:, 1] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return keys, counts
+
+
 def np_revcomp_keys(keys: np.ndarray, k: int) -> np.ndarray:
     """Reverse-complement packed left-aligned k-mer keys [N, W] (host)."""
     N, W = keys.shape

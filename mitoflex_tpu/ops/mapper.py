@@ -297,7 +297,11 @@ def map_batch(
     min_votes: int = 2,
     sample_step: int = SEED_STEP,
     max_key_mult: int = MAX_MULT,
+    mesh=None,
 ) -> MappedBatch:
+    """``mesh``: shard reads over the data axis with the (mito-scale)
+    seed index replicated (parallel.mesh.map_reads_sharded) — per-read
+    results are bit-identical to the single-device join."""
     B, L = seqs.shape
     if B == 0 or L < K or index.n_entries == 0:
         return MappedBatch(
@@ -323,11 +327,23 @@ def map_batch(
             [seqs, np.zeros((Bp - B, seqs.shape[1]), seqs.dtype)]
         )
         lengths = np.concatenate([lengths, np.zeros(Bp - B, lengths.dtype)])
-    contig, pos, strand, votes, raw = _map_device(
-        index.keys, index.contig_of, index.pos_of,
-        jnp.asarray(seqs), jnp.asarray(lengths),
-        min_votes, sample_step, max_key_mult,
-    )
+    ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    if ndev > 1 and Bp % ndev == 0:
+        from ..parallel import mesh as mesh_mod
+
+        ds, dl = mesh_mod.shard_batch(
+            mesh, jnp.asarray(seqs), jnp.asarray(lengths)
+        )
+        contig, pos, strand, votes, raw = mesh_mod.map_reads_sharded(
+            mesh, index.keys, index.contig_of, index.pos_of, ds, dl,
+            min_votes, sample_step, max_key_mult,
+        )
+    else:
+        contig, pos, strand, votes, raw = _map_device(
+            index.keys, index.contig_of, index.pos_of,
+            jnp.asarray(seqs), jnp.asarray(lengths),
+            min_votes, sample_step, max_key_mult,
+        )
     return MappedBatch(
         np.asarray(contig)[:B], np.asarray(pos)[:B], np.asarray(strand)[:B],
         np.asarray(votes)[:B], np.asarray(raw)[:B],
@@ -361,6 +377,7 @@ def coverage_of_reads(
     contigs: Sequence[FastaRecord],
     batches,
     min_votes: int = 2,
+    mesh=None,
 ) -> Tuple[List[np.ndarray], Dict[str, float], int, int]:
     """Map all read batches; returns (per-contig depth arrays, contig id ->
     mean depth, n_mapped, n_total) — the avgdep equivalent
@@ -370,7 +387,8 @@ def coverage_of_reads(
     n_mapped = n_total = 0
     for batch in batches:
         count = batch.count
-        mapped = map_batch(index, batch.seqs[:count], batch.lengths[:count], min_votes)
+        mapped = map_batch(index, batch.seqs[:count], batch.lengths[:count],
+                           min_votes, mesh=mesh)
         add_coverage(depth, index, mapped, batch.lengths[:count])
         n_mapped += int((mapped.contig >= 0).sum())
         n_total += count

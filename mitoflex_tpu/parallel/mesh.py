@@ -443,6 +443,44 @@ def sw_align_sharded(
     )(queries, q_lens, targets, t_lens, submat)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("gap_open", "gap_extend", "fs_penalty", "stop_penalty",
+                     "mesh"),
+)
+def genewise_align_sharded(
+    mesh: Mesh,
+    queries: jax.Array,
+    q_lens: jax.Array,
+    target_aa: jax.Array,
+    t_lens: jax.Array,
+    submat: jax.Array,
+    gap_open: float = 13.0,
+    gap_extend: float = 3.0,
+    fs_penalty: float = 15.0,
+    stop_penalty: float = 20.0,
+):
+    """Genewise windows sharded over the data axis (the reference refines
+    hits SERIALLY through wise2, annotation_tookit.py:264-311; here every
+    washed hit's window aligns in parallel across the mesh)."""
+    from ..ops import genewise as genewise_ops
+
+    def local(q, ql, t, tl, sm):
+        return genewise_ops.genewise_align(
+            q, ql, t, tl, sm, gap_open, gap_extend, fs_penalty, stop_penalty
+        )
+
+    from ..ops.genewise import WiseHits
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P("data", None), P("data"),
+                  P(None, None)),
+        out_specs=WiseHits(*([P("data")] * len(WiseHits._fields))),
+        check_vma=False,
+    )(queries, q_lens, target_aa, t_lens, submat)
+
+
 def pipeline_step(
     mesh: Mesh,
     seqs: jax.Array,

@@ -169,7 +169,8 @@ def run_findmitoscaf(
                 for b in fastq.read_batches(clean2, 8192, ctx.cfg.filter.max_read_len):
                     yield b
 
-        _, means, _, _ = mapper.coverage_of_reads(records, batches())
+        _, means, _, _ = mapper.coverage_of_reads(records, batches(),
+                                                  mesh=ctx.mesh)
         records = [r.with_attrs(flag=1, multi=round(means.get(r.id, 0.0), 2))
                    for r in records]
     res = findmitoscaf(

@@ -79,6 +79,7 @@ def _genewise_refine(
     genome: Dict[str, FastaRecord],
     db: Dict[str, ProteinRecord],
     table_id: int,
+    mesh=None,
 ) -> pd.DataFrame:
     """Batched genewise over every washed hit (reference runs wise2
     serially per hit, annotation_tookit.py:264-311)."""
@@ -117,10 +118,22 @@ def _genewise_refine(
         ta[i, : len(t)] = t
         ql[i], tl[i] = len(q), len(t)
     aa = genewise_ops.translate_windows(ta, table_id)
-    hits = genewise_ops.genewise_align(
-        jnp.asarray(qa), jnp.asarray(ql), jnp.asarray(aa), jnp.asarray(tl),
-        jnp.asarray(codon.blosum62()),
-    )
+    ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    if ndev > 1 and B % ndev == 0:
+        from ..parallel import mesh as mesh_mod
+
+        dq, dql, dt, dtl = mesh_mod.shard_batch(
+            mesh, jnp.asarray(qa), jnp.asarray(ql), jnp.asarray(aa),
+            jnp.asarray(tl),
+        )
+        hits = mesh_mod.genewise_align_sharded(
+            mesh, dq, dql, dt, dtl, jnp.asarray(codon.blosum62()),
+        )
+    else:
+        hits = genewise_ops.genewise_align(
+            jnp.asarray(qa), jnp.asarray(ql), jnp.asarray(aa), jnp.asarray(tl),
+            jnp.asarray(codon.blosum62()),
+        )
     score = np.asarray(hits.score)
     qf, qt = np.asarray(hits.q_from), np.asarray(hits.q_to)
     tf, tt = np.asarray(hits.t_from), np.asarray(hits.t_to)
@@ -255,7 +268,7 @@ def annotate(
             frame = blast_models.blast_filter(frame, cfg.min_identity, 5.0, cfg.qcover_ratio)
             washed = blast_models.wash_blast_results(frame, cfg.overlap_ratio)
 
-    wise_frame = _genewise_refine(washed, genome, db, table_id)
+    wise_frame = _genewise_refine(washed, genome, db, table_id, mesh=mesh)
     wise_frame = blast_models.wash_blast_results(wise_frame, cfg.overlap_ratio, mut_plus=False)
 
     # species vote (annotation.py:111-131)

@@ -196,9 +196,14 @@ class KmerCounter:
         self._cache_valid = False
         if weights is None:
             if self.prefer_host:
-                keys, counts = kmer_ops.count_chunk_host(
-                    seqs, lengths, self.k, canonical=self.canonical
-                )
+                if kmer_ops.num_words(self.k) <= 2:
+                    keys, counts = kmer_ops.count_chunk_numpy(
+                        seqs, lengths, self.k, canonical=self.canonical
+                    )
+                else:
+                    keys, counts = kmer_ops.count_chunk_host(
+                        seqs, lengths, self.k, canonical=self.canonical
+                    )
                 if len(keys):
                     self._push((keys, counts))
                 return
@@ -745,6 +750,7 @@ def _extend_ends(
     min_support: int,
     consensus_frac: float,
     max_ext: int,
+    mesh=None,
 ) -> Tuple[List[Contig], bool]:
     """One extension pass over BOTH contig ends from a SINGLE read-mapping
     sweep: reads whose alignment overhangs a contig's 3' end vote on the
@@ -763,7 +769,7 @@ def _extend_ends(
     votes_l = [np.zeros((max_ext, 4), np.int32) for _ in contigs]
     clens = np.asarray([len(c.seq) for c in contigs], np.int64)
     for seqs, lengths in read_source():
-        m = mapper_ops.map_batch(index, seqs, lengths, min_votes=2)
+        m = mapper_ops.map_batch(index, seqs, lengths, min_votes=2, mesh=mesh)
         mapped = m.contig >= 0
         # only reads overhanging an end vote — select them vectorized
         # before the per-read voting loop (the bulk of mapped reads sit
@@ -818,6 +824,7 @@ def local_extend(
     min_support: int = 3,
     consensus_frac: float = 0.75,
     max_ext_per_round: int = 60,
+    mesh=None,
 ) -> List[Contig]:
     """Local assembly of contig ends (megahit `local` analog,
     assemble_wrapper.py:298-304): reads mapping near a dead end vote on
@@ -829,7 +836,8 @@ def local_extend(
     contigs reach overlap length."""
     for _ in range(max_rounds):
         contigs, changed = _extend_ends(
-            contigs, read_source, min_support, consensus_frac, max_ext_per_round
+            contigs, read_source, min_support, consensus_frac,
+            max_ext_per_round, mesh=mesh,
         )
         if not changed:
             break
@@ -948,7 +956,8 @@ def assemble(
 
             def source():
                 for seqs, lengths in read_source():
-                    m = mapper_ops.map_batch(index, seqs, lengths, min_votes=2)
+                    m = mapper_ops.map_batch(index, seqs, lengths, min_votes=2,
+                                             mesh=mesh)
                     keep = m.contig >= 0
                     if keep.any():
                         lens2 = np.where(keep, lengths, 0).astype(np.int32)
@@ -987,7 +996,7 @@ def assemble(
             if not cfg.disable_local and any(not c.circular for c in contigs):
                 linear = [c for c in contigs if not c.circular]
                 circular = [c for c in contigs if c.circular]
-                linear = local_extend(linear, source)
+                linear = local_extend(linear, source, mesh=mesh)
                 contigs = circular + linear
         except EmptyGraph as e:
             logger.warn(f"assemble: {e}; stopping multi-k loop at k={k}")

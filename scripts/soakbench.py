@@ -5,9 +5,11 @@ KmerCounter (device LSM + disk spill) -> palindrome-aware gate ->
 expand -> graph fixpoint (assemble_k) -> depth gate -> mito recovery —
 with per-phase wall clocks and peak RSS measured, not projected.
 
-Default fixture: 30 Mbp nuclear at ~15x + 16 kb mito at ~800x with 1%
-errors (~0.5 Gbp of reads; MITOFLEX_SOAK_MBP scales the nuclear side,
-MITOFLEX_SOAK_DEPTH the background depth). Reads are generated in-memory
+Default fixture: 4 Mbp nuclear at ~15x + 16 kb mito at ~800x with 1%
+errors (~0.07 Gbp of reads — sized to this sandbox's ~200 MB/s DRAM;
+MITOFLEX_SOAK_MBP scales the nuclear side, MITOFLEX_SOAK_DEPTH the
+background depth, MITOFLEX_SOAK_SKIP_GRAPH=1 measures counting alone at
+north-star read volumes). Reads are generated in-memory
 chunk by chunk (no multi-GB files): the soak measures the count/LSM/
 graph terms PERF.md previously only projected — ingestion is bounded
 separately by the filter bench.
@@ -51,7 +53,7 @@ def main() -> int:
     from mitoflex_tpu.stages import graph_clean
 
     backend = jax.default_backend()
-    nuclear_mbp = float(os.environ.get("MITOFLEX_SOAK_MBP", "30"))
+    nuclear_mbp = float(os.environ.get("MITOFLEX_SOAK_MBP", "4"))
     depth = float(os.environ.get("MITOFLEX_SOAK_DEPTH", "15"))
     mito_depth = float(os.environ.get("MITOFLEX_SOAK_MITO_DEPTH", "800"))
     err = 0.01
@@ -129,43 +131,53 @@ def main() -> int:
         if mask.any():
             sk.append(keys[mask])
             sc.append(counts[mask])
-    keys, counts = kmer_ops.expand_canonical(
-        np.concatenate(sk), np.concatenate(sc), k + 1
-    )
+    if sk:
+        keys, counts = kmer_ops.expand_canonical(
+            np.concatenate(sk), np.concatenate(sc), k + 1
+        )
+    else:
+        keys = np.zeros((0, kmer_ops.num_words(k + 1)), np.uint32)
+        counts = np.zeros(0, np.uint64)
     t_gate = time.perf_counter() - t0
     print(f"# soak: gate+expand {t_gate:.1f}s "
           f"({n_distinct/1e6:.1f}M distinct -> {len(counts)/1e6:.1f}M solid "
           f"edges) rss {_rss_gb():.2f} GB peak_host_rows "
           f"{counter.peak_host_rows/1e6:.1f}M", file=sys.stderr, flush=True)
 
-    t0 = time.perf_counter()
-    clean = graph_clean.CleanParams(prune_depth=2, prune_level=2,
-                                    bubble_level=2)
-    contigs, _ = asm.assemble_k(keys, counts, k, clean, min_standalone=200,
-                                max_clean_rounds=3)
-    t_graph = time.perf_counter() - t0
-    print(f"# soak: graph+clean+unitig {t_graph:.1f}s "
-          f"({len(contigs)} contigs) rss {_rss_gb():.2f} GB", file=sys.stderr, flush=True)
+    skip_graph = os.environ.get("MITOFLEX_SOAK_SKIP_GRAPH") == "1"
+    t_graph = None
+    mito_ok = None
+    if not skip_graph:
+        t0 = time.perf_counter()
+        clean = graph_clean.CleanParams(prune_depth=2, prune_level=2,
+                                        bubble_level=2)
+        contigs, _ = asm.assemble_k(keys, counts, k, clean, min_standalone=200,
+                                    max_clean_rounds=3)
+        t_graph = time.perf_counter() - t0
+        print(f"# soak: graph+clean+unitig {t_graph:.1f}s "
+              f"({len(contigs)} contigs) rss {_rss_gb():.2f} GB",
+              file=sys.stderr, flush=True)
 
-    # the MitoFlex twist: the depth gate isolates the mitogenome
-    gated = asm.filter_contigs(contigs, mito_depth / 8, 200, 30000)
-    best = max(gated, key=lambda c: len(c.seq), default=None)
-    mito_ok = False
-    if best is not None and len(best.seq) >= mito_len:
-        mito_str = "".join("ACGT"[b] for b in mito2)
-        probe = best.seq[:200]
-        mito_ok = probe in mito_str or encoding.revcomp_str(probe) in mito_str
+        # the MitoFlex twist: the depth gate isolates the mitogenome
+        gated = asm.filter_contigs(contigs, mito_depth / 8, 200, 30000)
+        best = max(gated, key=lambda c: len(c.seq), default=None)
+        mito_ok = False
+        if best is not None and len(best.seq) >= mito_len:
+            mito_str = "".join("ACGT"[b] for b in mito2)
+            probe = best.seq[:200]
+            mito_ok = (probe in mito_str
+                       or encoding.revcomp_str(probe) in mito_str)
     print(json.dumps({
         "soak_gbp": round(total_bases / 1e9, 3),
         "soak_count_wall_s": round(t_count, 1),
         "soak_gate_wall_s": round(t_gate, 1),
-        "soak_graph_wall_s": round(t_graph, 1),
+        "soak_graph_wall_s": round(t_graph, 1) if t_graph is not None else None,
         "soak_distinct_m": round(n_distinct / 1e6, 1),
         "soak_solid_edges_m": round(len(counts) / 1e6, 1),
         "soak_peak_rss_gb": round(_rss_gb(), 2),
         "soak_peak_host_rows_m": round(counter.peak_host_rows / 1e6, 1),
         "soak_spilled": counter._spill is not None,
-        "soak_mito_recovered": bool(mito_ok),
+        "soak_mito_recovered": (bool(mito_ok) if mito_ok is not None else None),
         "backend": backend,
     }))
     return 0

@@ -1,5 +1,7 @@
 from collections import Counter
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -560,3 +562,31 @@ def test_kmer_counter_spill_path(rng):
     want_k, want_c = big.solid(1)
     np.testing.assert_array_equal(got_k, want_k)
     np.testing.assert_array_equal(got_c, want_c)
+
+
+@pytest.mark.parametrize("canonical", [False, True])
+@pytest.mark.parametrize("k", [15, 22, 31, 32])
+def test_count_chunk_numpy_matches_host(rng, k, canonical):
+    """The pure-numpy rolling-pack counter (the CPU backend's hot path)
+    must match count_chunk_host byte for byte — including N poisoning,
+    short rows, and canonical min-of-strands."""
+    B, L = 37, 70
+    seqs = rng.integers(0, 4, (B, L)).astype(np.int8)
+    # sprinkle Ns and a fully-invalid row
+    seqs[rng.random((B, L)) < 0.05] = 4
+    seqs[3] = 4
+    lens = rng.integers(0, L + 1, B).astype(np.int32)
+    lens[5] = 0
+    want_k, want_c = kmer_ops.count_chunk_host(seqs, lens, k, canonical=canonical)
+    got_k, got_c = kmer_ops.count_chunk_numpy(seqs, lens, k, canonical=canonical)
+    np.testing.assert_array_equal(want_k, got_k)
+    np.testing.assert_array_equal(want_c, got_c)
+
+
+def test_count_chunk_numpy_empty():
+    z_k, z_c = kmer_ops.count_chunk_numpy(np.zeros((0, 50), np.int8),
+                                          np.zeros(0, np.int32), 21)
+    assert z_k.shape == (0, 2) and len(z_c) == 0
+    z_k, z_c = kmer_ops.count_chunk_numpy(np.zeros((4, 10), np.int8),
+                                          np.full(4, 10, np.int32), 21)
+    assert len(z_c) == 0
