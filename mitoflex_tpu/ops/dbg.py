@@ -171,6 +171,88 @@ def graph_unitig_pass(
     )
 
 
+def graph_unitig_pass_host(
+    keys: np.ndarray, counts: np.ndarray, k: int
+) -> GraphPass:
+    """Numpy mirror of :func:`graph_unitig_pass` for the CPU backend
+    (k <= 32 so node k-mers pack into uint64): XLA:CPU's variadic sorts
+    and 2Vcap-padded arrays run the device formulation ~10x slower than
+    plain numpy on the same host. Output arrays satisfy the same
+    GraphPass contract (dense ids over the SORTED unique node table, so
+    ids — and everything derived from them — match the device pass
+    exactly); capacities are exact (Ecap = E, Vcap = V) instead of
+    padded.
+
+    keys: [E, W] uint32 valid rows only; counts: [E].
+    """
+    E, W = keys.shape
+    assert W <= 2, "host graph pass requires k <= 32"
+    # prefix = zero base k; suffix = 2-bit left shift (same layout rules
+    # as edge_prefix_suffix, on packed uint64)
+    p64 = kmer_ops.np_pack64(keys)
+    kw, kt = divmod(k, BASES_PER_WORD)
+    shift = np.uint64(2 * (BASES_PER_WORD - 1 - kt) + (32 if kw == 0 else 0))
+    pref = p64 & ~(np.uint64(0x3) << shift)
+    # left-shift across the pack; bases beyond k+1 are already zero
+    suf = p64 << np.uint64(2)
+    both = np.concatenate([pref, suf])
+    nodes64 = np.unique(both)
+    V = len(nodes64)
+    prefix_id = np.searchsorted(nodes64, pref).astype(np.int32)
+    suffix_id = np.searchsorted(nodes64, suf).astype(np.int32)
+    out_deg = np.bincount(prefix_id, minlength=V).astype(np.int32)
+    in_deg = np.bincount(suffix_id, minlength=V).astype(np.int32)
+
+    # unique predecessor (exact where in_deg == 1: single write wins)
+    vidx = np.arange(V, dtype=np.int32)
+    in1 = np.full(V, -1, np.int32)
+    in1[suffix_id] = prefix_id
+    cnt1 = np.zeros(V, np.uint32)
+    cnt1[suffix_id] = np.minimum(counts, 0xFFFFFFFF).astype(np.uint32)
+    pred = np.where(in_deg == 1, in1, vidx)
+    pred_cnt = np.where(in_deg == 1, cnt1, 0).astype(np.uint32)
+    linkable = (in_deg == 1) & (out_deg[np.clip(pred, 0, V - 1)] == 1) \
+        & (pred != vidx)
+    prev = np.where(linkable, pred, vidx).astype(np.int64)
+    link_count = np.where(linkable, pred_cnt, 0).astype(np.uint32)
+
+    def rank(prev0):
+        jump = prev0.copy()
+        dist = np.where(jump != vidx, 1, 0).astype(np.int32)
+        minid = vidx.astype(np.int64).copy()
+        it = max(1, math.ceil(math.log2(V + 1)))
+        for _ in range(it):
+            dist += dist[jump]
+            np.minimum(minid, minid[jump], out=minid)
+            jump = jump[jump]
+        return jump, dist, minid
+
+    jump, dist, minid = rank(prev)
+    on_cycle = jump[jump] != jump
+    is_break = on_cycle & (vidx == minid)
+    prev2 = np.where(is_break, vidx, prev)
+    link_count = np.where(is_break, 0, link_count)
+    jump, dist, _ = rank(prev2)
+
+    node_words = [
+        (nodes64 >> np.uint64(32)).astype(np.uint32),
+        (nodes64 & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+    ][:kmer_ops.num_words(k)]
+    return GraphPass(
+        node_words=node_words,
+        n_nodes=V,
+        out_deg=out_deg,
+        in_deg=in_deg,
+        root=jump.astype(np.int32),
+        offset=dist,
+        link_count=link_count,
+        is_cycle=on_cycle,
+        prefix_id=prefix_id,
+        suffix_id=suffix_id,
+        edge_valid=np.ones(E, bool),
+    )
+
+
 # ------------------------------------------------------------ host decoding
 def decode_node_kmers(node_words: np.ndarray, k: int) -> np.ndarray:
     """[V, W] uint32 → [V, k] int8 base codes (host, vectorized)."""

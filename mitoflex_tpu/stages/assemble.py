@@ -637,6 +637,16 @@ def _run_graph_pass(keys: np.ndarray, counts: np.ndarray, k: int) -> dbg_ops.Gra
     E = len(keys)
     if E == 0:
         raise EmptyGraph(f"no solid edges at k={k}")
+    if keys.shape[1] <= 2:
+        import jax
+
+        try:
+            on_cpu = jax.default_backend() == "cpu"
+        except Exception:
+            on_cpu = False
+        if on_cpu:
+            # numpy mirror — same ids/labels, ~10x the XLA:CPU formulation
+            return dbg_ops.graph_unitig_pass_host(keys, counts, k)
     Ecap = _pad_pow2(E)
     W = keys.shape[1]
     kw = [np.full(Ecap, 0xFFFFFFFF, np.uint32) for _ in range(W)]

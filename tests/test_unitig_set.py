@@ -123,3 +123,58 @@ def test_empty_pass():
     uset = dbg_ops.unitig_set_from_pass(gp, 21)
     assert uset.n == 0
     assert dbg_ops.dedup_strand_mask(uset, 21).shape == (0,)
+
+
+@pytest.mark.parametrize("circular", [False, True])
+@pytest.mark.parametrize("k", [15, 21, 31])
+def test_host_graph_pass_matches_device(rng, circular, k):
+    """graph_unitig_pass_host must reproduce the device pass exactly:
+    same sorted node table, ids, degrees, unitig labels and cycle flags
+    (the CPU backend routes through it — stages/assemble._run_graph_pass)."""
+    import jax.numpy as jnp
+
+    from mitoflex_tpu.io import encoding
+    from mitoflex_tpu.ops import kmer as kmer_ops
+    from mitoflex_tpu.stages import assemble as asm
+
+    genomes = [synth.random_genome(rng, 800), synth.random_genome(rng, 400)]
+    reads = []
+    for g in genomes:
+        reads += [r for r, _ in synth.shotgun_reads(
+            rng, g, len(g) * 12 // 80, read_len=80, circular=circular)]
+
+    def src():
+        seqs = np.full((len(reads), 96), 4, np.int8)
+        lens = np.zeros(len(reads), np.int32)
+        for i, r in enumerate(reads):
+            seqs[i, : len(r)] = encoding.encode(r)
+            lens[i] = len(r)
+        yield seqs, lens
+
+    keys, counts = asm.count_edges(src, k, 2)
+    host = dbg_ops.graph_unitig_pass_host(keys, counts, k)
+
+    E = len(keys)
+    Ecap = asm._pad_pow2(E)
+    W = keys.shape[1]
+    kw = [np.full(Ecap, 0xFFFFFFFF, np.uint32) for _ in range(W)]
+    for w in range(W):
+        kw[w][:E] = keys[:, w]
+    kc = np.zeros(Ecap, np.uint32)
+    kc[:E] = np.minimum(counts, 0xFFFFFFFF).astype(np.uint32)
+    dev = dbg_ops.graph_unitig_pass(
+        [jnp.asarray(x) for x in kw], jnp.asarray(kc), jnp.int32(E), k
+    )
+
+    n = int(dev.n_nodes)
+    assert host.n_nodes == n
+    for hw, dw in zip(host.node_words, dev.node_words):
+        np.testing.assert_array_equal(hw, np.asarray(dw)[:n])
+    np.testing.assert_array_equal(host.in_deg, np.asarray(dev.in_deg)[:n])
+    np.testing.assert_array_equal(host.out_deg, np.asarray(dev.out_deg)[:n])
+    np.testing.assert_array_equal(host.prefix_id, np.asarray(dev.prefix_id)[:E])
+    np.testing.assert_array_equal(host.suffix_id, np.asarray(dev.suffix_id)[:E])
+    np.testing.assert_array_equal(host.root, np.asarray(dev.root)[:n])
+    np.testing.assert_array_equal(host.offset, np.asarray(dev.offset)[:n])
+    np.testing.assert_array_equal(host.link_count, np.asarray(dev.link_count)[:n])
+    np.testing.assert_array_equal(host.is_cycle, np.asarray(dev.is_cycle)[:n])
