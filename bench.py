@@ -436,16 +436,15 @@ def main() -> int:
     if dev is None:
         return 1
 
-    # CPU-only children (never touch the device tunnel); the golden-volume
-    # e2e and the kmin soak run in PARALLEL with the small e2e
+    # CPU-only children (never touch the device tunnel). SEQUENTIAL on
+    # purpose: this sandbox exposes ~1 effective core, so parallel
+    # children just inflate each other's walls ~3x for the same total
     cpu_env = {"JAX_PLATFORMS": "cpu"}
-    golden_proc = _spawn_child("--child-e2e-golden", cpu_env)
-    soak_proc = _spawn_child("--child-soak", cpu_env)
     e2e = _run_child(cpu_env, arg="--child-e2e", timeout=E2E_TIMEOUT_S)
     budget = max(int(GOLDEN_TIMEOUT_S - (time.perf_counter() - t_start)), 60)
-    golden = _collect_child(golden_proc, budget)
+    golden = _collect_child(_spawn_child("--child-e2e-golden", cpu_env), budget)
     budget = max(int(GOLDEN_TIMEOUT_S - (time.perf_counter() - t_start)), 60)
-    soak = _collect_child(soak_proc, budget)
+    soak = _collect_child(_spawn_child("--child-soak", cpu_env), budget)
 
     bases_per_sec = dev["filter_gbase_s"] * 1e9
     extras = {"kmer_count_mkeys_s": dev.get("kmer_count_mkeys_s"),
