@@ -69,7 +69,12 @@ class ContigIndex:
             batch[i, : len(r.seq)] = r.codes
             lens[i] = len(r.seq)
         words, valid = kmer_ops.extract_kmers(jnp.asarray(batch), jnp.asarray(lens), K)
-        w = np.asarray(words[0])
+        # 15-mers left-align to bits 2..31 of the word; drop the two zero
+        # low bits so keys are TRUE 30-bit values — the sort-join packs
+        # (key, tag) into one int32/uint32 and treats negative (bit-31)
+        # keys as padding, so unshifted keys starting with G/T would be
+        # silently discarded (halving seed sensitivity)
+        w = np.asarray(words[0]) >> 2
         v = np.asarray(valid)
         ridx, cidx = np.nonzero(v)
         keys = w[ridx, cidx]
@@ -225,7 +230,8 @@ def _map_device(
     lens2 = jnp.concatenate([lengths, lengths])
 
     words, valid = kmer_ops.extract_kmers(both, lens2, K)
-    w = words[0][:, ::step]                                  # [2B, S]
+    # match ContigIndex.build's 30-bit key contract (low 2 bits dropped)
+    w = (words[0] >> 2)[:, ::step]                           # [2B, S]
     v = valid[:, ::step]
     S = w.shape[1]
     offs = (jnp.arange(S, dtype=jnp.int32) * step)
@@ -290,6 +296,118 @@ def _map_device(
             votes.astype(jnp.int32), raw.astype(jnp.int32))
 
 
+def _host_windows_u32(seqs: np.ndarray, lengths: np.ndarray, k: int):
+    """Numpy mirror of extract_kmers for W == 1 (k <= 16): [B, P] uint32
+    left-aligned window keys + validity (inside content, N-free)."""
+    B, L = seqs.shape
+    P = L - k + 1
+    cc = np.where(seqs < 4, seqs, 0).astype(np.uint32)
+    acc = np.zeros((B, P), np.uint32)
+    for t in range(k):
+        acc |= cc[:, t : t + P] << np.uint32(
+            2 * (kmer_ops.BASES_PER_WORD - 1 - t)
+        )
+    is_n = (seqs == encoding.N).astype(np.int32)
+    cum = np.cumsum(is_n, axis=1)
+    hi = cum[:, k - 1 :]
+    lo = np.pad(cum[:, : P - 1], ((0, 0), (1, 0)))
+    col = np.arange(P, dtype=np.int32)[None, :]
+    valid = (col + k <= lengths[:, None]) & (hi - lo == 0)
+    return acc, valid
+
+
+def _map_host(
+    index: ContigIndex, seqs: np.ndarray, lengths: np.ndarray,
+    min_votes: int, step: int, max_mult: int,
+):
+    """Numpy mirror of _map_device — bit-identical placements (the
+    mesh-parity tests compare this host path against the sharded device
+    kernel). The XLA formulation's gather-free sort-joins are built for
+    the TPU; on the CPU backend plain searchsorted against the (small,
+    cache-resident) index is ~10x faster and was the dominant term of
+    the CPU e2e's assemble stage (local-extension mapping sweeps)."""
+    B, L = seqs.shape
+    # both strands: rc rows left-aligned like revcomp_codes
+    comp = np.where(seqs < 4, 3 - seqs, seqs).astype(np.int8)
+    rev = comp[:, ::-1]
+    col = np.arange(L, dtype=np.int32)[None, :]
+    src = np.clip(col + (L - lengths[:, None]), 0, L - 1)
+    rc = np.take_along_axis(rev, src, axis=1)
+    rc = np.where(col < lengths[:, None], rc, np.int8(encoding.N))
+    both = np.concatenate([seqs, rc])
+    lens2 = np.concatenate([lengths, lengths])
+
+    w, v = _host_windows_u32(both, lens2, K)
+    w = (w >> np.uint32(2))[:, ::step]  # ContigIndex 30-bit key contract
+    v = v[:, ::step]
+    S = w.shape[1]
+    offs = (np.arange(S, dtype=np.int64) * step)
+
+    tk = np.asarray(index.keys)[: index.n_entries]
+    con_of = np.asarray(index.contig_of)[: index.n_entries].astype(np.int64)
+    pos_of = np.asarray(index.pos_of)[: index.n_entries].astype(np.int64)
+
+    q = w.reshape(-1)
+    qv = v.reshape(-1)
+    lo = np.searchsorted(tk, q, side="left")
+    hi = np.searchsorted(tk, q, side="right")
+    # candidates = the LAST max_mult index rows of each key's run (the
+    # device fetches positions p, p-1, ... from the rank join's p = hi-1)
+    rows = (hi - 1)[:, None] - np.arange(max_mult, dtype=np.int64)[None, :]
+    okc = (rows >= lo[:, None]) & qv[:, None] & (hi > lo)[:, None]
+    rows_s = np.clip(rows, 0, max(len(tk) - 1, 0))
+    MISS = np.int64(2 ** 28)
+    if len(tk):
+        con = np.where(okc, con_of[rows_s], MISS)
+        tp = np.where(okc, pos_of[rows_s], 0)
+    else:
+        con = np.full(rows.shape, MISS, np.int64)
+        tp = np.zeros(rows.shape, np.int64)
+    offs_flat = np.tile(offs, 2 * B)
+    diag = np.where(okc, tp - offs_flat[:, None], MISS)
+
+    # per-read voting: pack (contig, diag) into one int64 and sort rows
+    BIAS = np.int64(1) << np.int64(32)
+    key = (con << np.int64(33)) + diag + BIAS
+    key = key.reshape(2 * B, S * max_mult)
+    key.sort(axis=1)
+    M = key.shape[1]
+    con_s = key >> np.int64(33)
+    diag_s = (key & ((np.int64(1) << np.int64(33)) - 1)) - BIAS
+    pos_i = np.broadcast_to(np.arange(M, dtype=np.int64)[None, :], key.shape)
+    same = key[:, 1:] == key[:, :-1]
+    is_new = np.concatenate([np.ones((2 * B, 1), bool), ~same], axis=1)
+    run_start = np.maximum.accumulate(np.where(is_new, pos_i, 0), axis=1)
+    run_len = pos_i - run_start + 1
+    run_len = np.where(con_s < MISS, run_len, 0)
+    is_end = np.concatenate([~same, np.ones((2 * B, 1), bool)], axis=1)
+    end_len = np.where(is_end, run_len, 0)
+    best_votes = end_len.max(axis=1)
+    best_idx = end_len.argmax(axis=1)
+    second_votes = np.where(
+        pos_i == best_idx[:, None], np.int64(-1), end_len
+    ).max(axis=1)
+    contig = np.take_along_axis(con_s, best_idx[:, None], axis=1)[:, 0]
+    diag_w = np.take_along_axis(diag_s, best_idx[:, None], axis=1)[:, 0]
+    ok = (best_votes >= min_votes) & (best_votes > second_votes)
+    contig = np.where(ok, contig, -1)
+    raw = diag_w
+    pos = np.maximum(diag_w, 0)
+
+    c_f, c_r = contig[:B], contig[B:]
+    p_f, p_r = pos[:B], pos[B:]
+    r_f, r_r = raw[:B], raw[B:]
+    v_f, v_r = best_votes[:B], best_votes[B:]
+    use_r = v_r > v_f
+    return (
+        np.where(use_r, c_r, c_f).astype(np.int32),
+        np.where(use_r, p_r, p_f).astype(np.int32),
+        np.where(use_r, np.int8(-1), np.int8(1)),
+        np.where(use_r, v_r, v_f).astype(np.int32),
+        np.where(use_r, r_r, r_f).astype(np.int32),
+    )
+
+
 def map_batch(
     index: ContigIndex,
     seqs: np.ndarray,
@@ -339,11 +457,22 @@ def map_batch(
             min_votes, sample_step, max_key_mult,
         )
     else:
-        contig, pos, strand, votes, raw = _map_device(
-            index.keys, index.contig_of, index.pos_of,
-            jnp.asarray(seqs), jnp.asarray(lengths),
-            min_votes, sample_step, max_key_mult,
-        )
+        import jax
+
+        try:
+            on_cpu = jax.default_backend() == "cpu"
+        except Exception:
+            on_cpu = False
+        if on_cpu:
+            contig, pos, strand, votes, raw = _map_host(
+                index, seqs, lengths, min_votes, sample_step, max_key_mult
+            )
+        else:
+            contig, pos, strand, votes, raw = _map_device(
+                index.keys, index.contig_of, index.pos_of,
+                jnp.asarray(seqs), jnp.asarray(lengths),
+                min_votes, sample_step, max_key_mult,
+            )
     return MappedBatch(
         np.asarray(contig)[:B], np.asarray(pos)[:B], np.asarray(strand)[:B],
         np.asarray(votes)[:B], np.asarray(raw)[:B],

@@ -149,3 +149,56 @@ def test_gc_windows():
     codes = encoding.encode("GGGG" + "AAAA" + "GGCC" + "ATAT")
     gc = vis.gc_windows(codes, 4)
     np.testing.assert_allclose(gc, [1.0, 0.0, 1.0, 0.0])
+
+
+def test_host_mapper_matches_device(rng):
+    """_map_host must be bit-identical to _map_device: same winners, same
+    tie handling (ambiguous best -> unmapped), same raw/clamped positions
+    and strand preference — incl. reads with Ns, short rows, repeats and
+    end overhangs (the CPU backend routes map_batch through it)."""
+    import jax.numpy as jnp
+
+    from mitoflex_tpu.io import encoding
+    from mitoflex_tpu.io.fasta import FastaRecord
+    from mitoflex_tpu.ops import mapper as M
+
+    genome = synth.random_genome(rng, 3000)
+    # a repeated segment so some reads are ambiguous
+    genome = genome[:1200] + genome[200:500] + genome[1200:]
+    contigs = [FastaRecord("a", genome[:1800]), FastaRecord("b", genome[1500:])]
+    index = M.ContigIndex.build(contigs)
+
+    B, L = 257, 128
+    seqs = np.full((B, L), 4, np.int8)
+    lens = np.zeros(B, np.int32)
+    for i in range(B):
+        mode = i % 5
+        if mode == 0:  # clean read inside a contig
+            s = int(rng.integers(0, len(genome) - 100))
+            frag = genome[s : s + 100]
+        elif mode == 1:  # revcomp read
+            s = int(rng.integers(0, len(genome) - 90))
+            frag = encoding.revcomp_str(genome[s : s + 90])
+        elif mode == 2:  # read overhanging a contig end
+            frag = synth.random_genome(rng, 40) + genome[:60]
+        elif mode == 3:  # junk
+            frag = synth.random_genome(rng, 80)
+        else:          # read with Ns + short
+            s = int(rng.integers(0, len(genome) - 70))
+            frag = genome[s : s + 35] + "N" + genome[s + 36 : s + 70]
+        codes = encoding.encode(frag)
+        seqs[i, : len(codes)] = codes
+        lens[i] = len(codes)
+    lens[7] = 0
+    lens[11] = 9  # shorter than K
+
+    host = M._map_host(index, seqs, lens, 2, M.SEED_STEP, M.MAX_MULT)
+    dev = M._map_device(
+        index.keys, index.contig_of, index.pos_of,
+        jnp.asarray(seqs), jnp.asarray(lens), 2, M.SEED_STEP, M.MAX_MULT,
+    )
+    names = ("contig", "pos", "strand", "votes", "raw")
+    for name, h, d in zip(names, host, dev):
+        np.testing.assert_array_equal(h, np.asarray(d), err_msg=name)
+    # sanity: a decent share actually mapped
+    assert (host[0] >= 0).sum() > B // 2
