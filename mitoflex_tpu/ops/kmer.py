@@ -654,7 +654,15 @@ def expand_canonical(
     out_counts = np.concatenate(
         [np.where(palin, counts * 2, counts), counts[~palin]]
     )
-    order = np.argsort(np_keys_view(out_keys), kind="stable")
+    # native-dtype sort — the void-record argsort pays a function-pointer
+    # memcmp per compare (~100x; it dominated the gate+expand wall at the
+    # 1.5 Gbp soak scale)
+    if out_keys.shape[1] <= 2:
+        order = np.argsort(np_pack64(out_keys), kind="stable")
+    else:
+        order = np.lexsort(
+            tuple(out_keys[:, w] for w in range(out_keys.shape[1] - 1, -1, -1))
+        )
     return out_keys[order], out_counts[order]
 
 
