@@ -620,10 +620,19 @@ def add_mercy_edges(
     if not mercy_runs:
         return keys, counts
     cand = np.concatenate(mercy_runs)
-    view = kmer_ops.np_keys_view(cand)
-    uniq_v, occ = np.unique(view, return_counts=True)
-    # recover the [M, W] uint32 rows from the void view
-    mkeys = uniq_v.view(">u4").reshape(-1, W).astype(np.uint32)
+    if W <= 2:
+        # native-dtype unique (the void-record path compares through a
+        # function pointer — ~100x at millions of candidates)
+        uniq, occ = np.unique(kmer_ops.np_pack64(cand), return_counts=True)
+        mkeys = np.empty((len(uniq), W), np.uint32)
+        mkeys[:, 0] = (uniq >> np.uint64(32)).astype(np.uint32)
+        if W == 2:
+            mkeys[:, 1] = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    else:
+        view = kmer_ops.np_keys_view(cand)
+        uniq_v, occ = np.unique(view, return_counts=True)
+        # recover the [M, W] uint32 rows from the void view
+        mkeys = uniq_v.view(">u4").reshape(-1, W).astype(np.uint32)
     logger.info(
         f"mercy: rescued {len(mkeys)} sub-threshold edges via read paths"
     )
