@@ -290,12 +290,30 @@ def _child_e2e_golden() -> int:
     rng = np.random.default_rng(2026)
     tmp = tempfile.mkdtemp(prefix="mitoflex_bench_g_")
     # spacer scaled so the fixture genome is ~16 kb like the real thing
-    fake = profile_fixture.build(pathlib.Path(tmp), rng, spacer=2990)
+    # (incl. the two planted rRNAs below)
+    fake = profile_fixture.build(pathlib.Path(tmp), rng, spacer=2440)
     nuclear = [synth.random_genome(rng, 8000) for _ in range(2)]
 
-    glen = len(fake.genome)
+    # plant both rRNA genes (consensus of the reference's own CMs) so the
+    # acceptance gate can mirror the reference's golden-sample expectation
+    # ("sequence should be cicular, PCGs and rRNAs should all be founded",
+    # /root/reference/README.md:102-118). Only rRNA_CM is linked — tRNAs
+    # are not part of that gate and 22 extra CM scans would bloat the wall.
+    genome = fake.genome
+    rrna_src = "/root/reference/profile/rRNA_CM"
+    have_rrna = os.path.isdir(rrna_src)
+    if have_rrna:
+        os.symlink(rrna_src, os.path.join(fake.profile_dir, "rRNA_CM"))
+        from mitoflex_tpu.models.cm import load_cm_file
+
+        for name in ("12s.cm", "16s.cm"):
+            m = load_cm_file(os.path.join(rrna_src, name))[0]
+            cons = m.consensus().upper().replace("U", "T")
+            genome = genome + cons + synth.random_genome(rng, 120)
+
+    glen = len(genome)
     pairs = synth.shotgun_reads(
-        rng, fake.genome, glen * 400 // 300, read_len=150, insert=300,
+        rng, genome, glen * 400 // 300, read_len=150, insert=300,
         circular=True, error_rate=0.01,
     )
     for g in nuclear:
@@ -345,12 +363,24 @@ def _child_e2e_golden() -> int:
                      circular=circular)
     walls["visualize"] = round(time.perf_counter() - t0, 1)
     wall = time.perf_counter() - t_all
-    ok = bool(locs) and len(locs) >= 3
+    # acceptance mirrors the reference's golden-sample contract
+    # (/root/reference/README.md:102-118): the sequence is CIRCULAR, every
+    # fixture PCG is annotated, and both rRNAs are found. A run that lost
+    # circularity or half the genes must NOT report ok (round-4 VERDICT
+    # weak #5).
+    found = set(locs or {})
+    missing_pcgs = [g for g in profile_fixture.GENES if g not in found]
+    missing_rrnas = (
+        [r for r in ("rrnS", "rrnL") if r not in found] if have_rrna else []
+    )
+    ok = bool(circular) and not missing_pcgs and not missing_rrnas
     print(json.dumps({
         "e2e_golden_wall_s": round(wall, 1),
         "e2e_golden_bases": bases,
         "e2e_golden_stage_walls": walls,
         "e2e_golden_ok": ok,
+        "e2e_golden_circular": bool(circular),
+        "e2e_golden_missing": missing_pcgs + missing_rrnas,
     }))
     return 0
 
@@ -452,16 +482,24 @@ def main() -> int:
     if e2e and e2e.get("e2e_ok"):
         extras["e2e_fixture_wall_s"] = e2e["e2e_fixture_wall_s"]
         extras["e2e_fixture_bases"] = e2e["e2e_fixture_bases"]
-        extras["e2e_vs_ref_golden"] = round(
+        # the 332 kbp fixture is ~20x smaller than the reference golden
+        # sample — its ratio is a smoke signal, not a comparison point;
+        # the honest like-for-like ratio is e2e_golden_vs_ref below
+        extras["e2e_smallfix_vs_ref_golden"] = round(
             REF_GOLDEN_E2E_S / e2e["e2e_fixture_wall_s"], 2
         )
-    if golden and golden.get("e2e_golden_ok"):
-        extras["e2e_golden_wall_s"] = golden["e2e_golden_wall_s"]
-        extras["e2e_golden_bases"] = golden["e2e_golden_bases"]
-        extras["e2e_golden_stage_walls"] = golden["e2e_golden_stage_walls"]
-        extras["e2e_golden_vs_ref"] = round(
-            REF_GOLDEN_E2E_S / golden["e2e_golden_wall_s"], 2
-        )
+    if golden:
+        extras["e2e_golden_ok"] = golden.get("e2e_golden_ok")
+        extras["e2e_golden_wall_s"] = golden.get("e2e_golden_wall_s")
+        extras["e2e_golden_bases"] = golden.get("e2e_golden_bases")
+        extras["e2e_golden_stage_walls"] = golden.get("e2e_golden_stage_walls")
+        if golden.get("e2e_golden_missing"):
+            extras["e2e_golden_missing"] = golden["e2e_golden_missing"]
+        if golden.get("e2e_golden_ok"):
+            # only a contract-passing run earns a published ratio
+            extras["e2e_golden_vs_ref"] = round(
+                REF_GOLDEN_E2E_S / golden["e2e_golden_wall_s"], 2
+            )
     if soak:
         for k in ("soak_gbp", "soak_count_wall_s", "soak_gate_wall_s",
                   "soak_graph_wall_s", "soak_peak_rss_gb", "soak_spilled",

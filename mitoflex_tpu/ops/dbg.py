@@ -133,6 +133,9 @@ def graph_unitig_pass(
     link_count = jnp.where(linkable, pred_cnt, 0).astype(jnp.uint32)
 
     iters = max(1, math.ceil(math.log2(Vcap + 1)))
+    # dist clamp: keeps cycle distances (which double every round, 2^iters
+    # >= Vcap+1) from overflowing int32 while staying >= any chain length
+    dist_cap = jnp.int32(min(Vcap, 1 << 30))
 
     def rank(prev0):
         jump = prev0
@@ -141,7 +144,7 @@ def graph_unitig_pass(
 
         def body(_, state):
             jump, dist, minid = state
-            dist = dist + dist[jump]
+            dist = jnp.minimum(dist + dist[jump], dist_cap)
             minid = jnp.minimum(minid, minid[jump])
             jump = jump[jump]
             return jump, dist, minid
@@ -149,7 +152,14 @@ def graph_unitig_pass(
         return jax.lax.fori_loop(0, iters, body, (jump, dist, minid))
 
     jump, dist, minid = rank(prev)
-    on_cycle = jump[jump] != jump
+    # cycle test by DISTANCE, not jump[jump] != jump: a chain node's dist
+    # is its (< n_nodes) distance to the fixed-point root, while a cycle
+    # node's dist doubles every round to >= Vcap+1 (clamped to dist_cap
+    # >= n_nodes). The jump-fixed-point test is degenerate when the cycle
+    # length divides 2^iters (e.g. a circular genome of exactly 2^m
+    # distinct k-mers): jump converges to the identity, the cycle went
+    # undetected, and the circular unitig shattered into singletons.
+    on_cycle = dist >= n_nodes
     # break cycles at their minimum node, then re-rank
     is_break = jnp.logical_and(on_cycle, vidx == minid)
     prev2 = jnp.where(is_break, vidx, prev)
@@ -218,7 +228,8 @@ def graph_unitig_pass_host(
 
     def rank(prev0):
         jump = prev0.copy()
-        dist = np.where(jump != vidx, 1, 0).astype(np.int32)
+        # int64 dist: cycle distances double every round to 2^it >= V+1
+        dist = np.where(jump != vidx, 1, 0).astype(np.int64)
         minid = vidx.astype(np.int64).copy()
         it = max(1, math.ceil(math.log2(V + 1)))
         for _ in range(it):
@@ -228,11 +239,15 @@ def graph_unitig_pass_host(
         return jump, dist, minid
 
     jump, dist, minid = rank(prev)
-    on_cycle = jump[jump] != jump
+    # distance-based cycle test (chain dist < V, cycle dist >= V+1) — the
+    # jump-fixed-point test misses cycles whose length divides 2^it; see
+    # the device pass for the full note (kept in lockstep for parity)
+    on_cycle = dist >= V
     is_break = on_cycle & (vidx == minid)
     prev2 = np.where(is_break, vidx, prev)
     link_count = np.where(is_break, 0, link_count)
     jump, dist, _ = rank(prev2)
+    dist = dist.astype(np.int32)
 
     node_words = [
         (nodes64 >> np.uint64(32)).astype(np.uint32),

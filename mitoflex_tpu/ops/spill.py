@@ -4,11 +4,19 @@ The host side of the k-mer LSM at beyond-RAM scale (the megahit/KMC
 discipline — the reference's megahit core counts 5 Gbp inputs in 5-20 GB
 by partitioning k-mer buckets to disk, /root/reference/README.md:19):
 each sorted run that would otherwise accumulate in host memory is sliced
-into ``n_buckets`` contiguous key ranges (uniform on the leading key word;
-both strands are counted so keys are near-uniform) and appended to one
-file per bucket. Merging then proceeds bucket by bucket: peak host memory
-is O(bucket) + the caller's accumulated output (the gated solid table),
+into ``n_buckets`` contiguous key ranges and appended to one file per
+bucket. Merging then proceeds bucket by bucket: peak host memory is
+O(bucket) + the caller's accumulated output (the gated solid table),
 never O(distinct k-mers).
+
+Bucket boundaries depend on the key distribution. Both-strand tables are
+near-uniform on the leading word (uniform boundaries); CANONICAL tables
+(the production count_edges path — KmerCounter(canonical=True)) hold
+min(x, rc(x)), whose leading-word fraction u has CDF F(u) = 1-(1-u)^2 =
+2u-u^2 — bucket 0 of a uniform split carries ~2x the average load.
+``canonical=True`` uses the quantile boundaries of F instead
+(boundary_b = (1-sqrt(1-b/B))*2^32) so every bucket holds ~1/B of the
+keys.
 
 File format per bucket: repeated records of
 ``uint64 n | n*W uint32 keys (C order) | n uint64 counts``.
@@ -27,19 +35,34 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+def canonical_inner_boundaries(n: int) -> np.ndarray:
+    """The n-1 inner word0 boundaries equalizing expected load for
+    CANONICAL keys: quantiles of F(u) = 2u - u^2 on the leading-word
+    fraction, i.e. boundary_j = (1 - sqrt(1 - j/n)) * 2^32."""
+    j = np.arange(1, n)
+    b = np.floor((1.0 - np.sqrt(1.0 - j / n)) * float(1 << 32))
+    return np.minimum(b, float((1 << 32) - 1)).astype(np.uint64).astype(np.uint32)
+
+
+def uniform_inner_boundaries(n: int) -> np.ndarray:
+    return np.asarray([(b * (1 << 32)) // n for b in range(1, n)], np.uint32)
+
+
 class BucketSpill:
     def __init__(self, W: int, n_buckets: int = 64,
-                 base_dir: Optional[str] = None):
+                 base_dir: Optional[str] = None, canonical: bool = False):
         self.W = W
         self.n_buckets = n_buckets
         self.dir = tempfile.mkdtemp(prefix="kmer_spill_", dir=base_dir)
         # inner bucket boundaries on the leading key word: bucket b holds
-        # keys with word0 in [b*2^32/B, (b+1)*2^32/B)
-        self.inner = np.asarray(
-            [(b * (1 << 32)) // n_buckets for b in range(1, n_buckets)],
-            np.uint32,
+        # keys with word0 in [inner[b-1], inner[b]); density-matched to
+        # the key distribution (canonical vs both-strand, see module doc)
+        self.inner = (
+            canonical_inner_boundaries(n_buckets) if canonical
+            else uniform_inner_boundaries(n_buckets)
         )
         self.rows = 0
+        self.bytes_written = 0
 
     def _path(self, b: int) -> str:
         return os.path.join(self.dir, f"bucket_{b:04d}.bin")
@@ -61,6 +84,7 @@ class BucketSpill:
                 f.write(struct.pack("<Q", e - s))
                 f.write(k32[s:e].tobytes())
                 f.write(c64[s:e].tobytes())
+            self.bytes_written += 8 + (e - s) * (self.W * 4 + 8)
         self.rows += len(keys)
 
     def read_bucket(self, b: int) -> List[Tuple[np.ndarray, np.ndarray]]:

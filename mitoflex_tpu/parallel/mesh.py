@@ -203,13 +203,30 @@ def _partition_merge_local(uw, uc, nu, ndev: int, W: int, inner_i32, slack: floa
     return (*mw, mc, mn.reshape(1), total_overflow)
 
 
-def _inner_boundaries_i32(ndev: int) -> jax.Array:
-    """The ndev-1 inner word0 range boundaries (uniform over uint32),
-    mapped through the order-preserving u32->i32 bitcast."""
-    inner = [((j * (1 << 32)) // ndev) ^ (1 << 31) for j in range(1, ndev)]
+def _to_i32(inner) -> jax.Array:
+    """Map uint32 boundaries through the order-preserving u32->i32 bitcast."""
+    flipped = [int(b) ^ (1 << 31) for b in inner]
     return jnp.asarray(
-        [b - (1 << 32) if b >= (1 << 31) else b for b in inner], jnp.int32
+        [b - (1 << 32) if b >= (1 << 31) else b for b in flipped], jnp.int32
     )
+
+
+def _inner_boundaries_i32(ndev: int) -> jax.Array:
+    """The ndev-1 inner word0 range boundaries (uniform over uint32) for
+    BOTH-STRAND tables, whose leading word is near-uniform."""
+    return _to_i32([(j * (1 << 32)) // ndev for j in range(1, ndev)])
+
+
+def _canonical_inner_boundaries_i32(ndev: int) -> jax.Array:
+    """Boundaries for CANONICAL tables. A canonical key is min(x, rc(x)),
+    so its leading-word fraction u has CDF F(u) = 1-(1-u)^2: uniform
+    boundaries load shard 0 with ~2x the average — at slack=2 its expected
+    load ~= its capacity and ordinary fluctuation trips the overflow
+    fallback (round-4 ADVICE, medium). Quantiles of F equalize load:
+    boundary_j = (1 - sqrt(1 - j/n)) * 2^32."""
+    from ..ops.spill import canonical_inner_boundaries
+
+    return _to_i32(canonical_inner_boundaries(ndev).tolist())
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mesh", "slack"))
@@ -303,18 +320,25 @@ def merge_scattered_sharded(mesh: Mesh, n_words: int, *flat):
     return list(outs[:W]), outs[W]
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "slack"))
-def partition_scattered_sharded(mesh: Mesh, words, counts, slack: float = 2.0):
+@functools.partial(jax.jit, static_argnames=("mesh", "slack", "canonical"))
+def partition_scattered_sharded(mesh: Mesh, words, counts, slack: float = 2.0,
+                                canonical: bool = False):
     """Final extraction of a sharded scattered LSM run: compact each
     device's run to sorted-unique, range-partition by key, ONE all_to_all
     so device j receives range j from everyone, merge. After this, shard j
     holds the exact global table of key range j (ascending across shards —
     host concat of the valid rows IS the global sorted table).
 
+    ``canonical`` selects density-matched range boundaries (canonical
+    tables concentrate on low leading words; see
+    _canonical_inner_boundaries_i32) so per-shard load stays ~M/ndev and
+    the overflow fallback only fires on genuinely pathological skew.
+
     Returns (words sharded, counts sharded, n_unique [ndev], overflow)."""
     ndev = int(np.prod(mesh.devices.shape))
     W = len(words)
-    inner_i32 = _inner_boundaries_i32(ndev)
+    inner_i32 = (_canonical_inner_boundaries_i32(ndev) if canonical
+                 else _inner_boundaries_i32(ndev))
 
     def local(*flat):
         ws, cs = list(flat[:W]), flat[W]

@@ -310,8 +310,10 @@ def run_bim(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None) -> 
                     res.clean1, res.clean2, 8192, cfg.filter.max_read_len, keep_names=True
                 )
                 for p1, p2 in pair_iter:
-                    m1 = mapper.map_batch(index, p1.seqs[: p1.count], p1.lengths[: p1.count])
-                    m2 = mapper.map_batch(index, p2.seqs[: p2.count], p2.lengths[: p2.count])
+                    m1 = mapper.map_batch(index, p1.seqs[: p1.count],
+                                          p1.lengths[: p1.count], mesh=ctx.mesh)
+                    m2 = mapper.map_batch(index, p2.seqs[: p2.count],
+                                          p2.lengths[: p2.count], mesh=ctx.mesh)
                     keep = np.zeros(p1.capacity, bool)
                     keep[: p1.count] = (m1.contig >= 0) | (m2.contig >= 0)
                     n_out += w1.write_batch(p1, keep)
@@ -325,7 +327,8 @@ def run_bim(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None) -> 
             else:
                 for b in fastq.read_batches(res.clean1, 8192, cfg.filter.max_read_len,
                                             keep_names=True):
-                    m = mapper.map_batch(index, b.seqs[: b.count], b.lengths[: b.count])
+                    m = mapper.map_batch(index, b.seqs[: b.count],
+                                         b.lengths[: b.count], mesh=ctx.mesh)
                     keep = np.zeros(b.capacity, bool)
                     keep[: b.count] = m.contig >= 0
                     n_out += w1.write_batch(b, keep)
@@ -345,7 +348,8 @@ def run_bim(ctx: PipelineContext, fastq1: str, fastq2: Optional[str] = None) -> 
         )
         try:
             assemble(cfg.assemble, b1, b2, out,
-                     max_read_len=cfg.filter.max_read_len)
+                     max_read_len=cfg.filter.max_read_len, mesh=ctx.mesh,
+                     spill_dir=wd.stage_dir("assemble"))
         finally:
             cfg.assemble.disable_scaffolding = old_noscaf
         if i > cfg.bim.iteration_ignore:

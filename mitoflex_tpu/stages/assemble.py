@@ -132,7 +132,8 @@ class KmerCounter:
         from ..ops.spill import BucketSpill
 
         self._spill = BucketSpill(
-            kmer_ops.num_words(self.k), self.spill_buckets, self.spill_dir
+            kmer_ops.num_words(self.k), self.spill_buckets, self.spill_dir,
+            canonical=self.canonical,
         )
         for run in self._levels:
             if run is not None:
@@ -275,6 +276,16 @@ class KmerCounter:
     def _merged(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         if self._cache_valid:
             return self._cache
+        if self._spill is not None:
+            # the accessors below (.keys/.counts) materialize the FULL
+            # distinct table — exactly what spill mode exists to avoid.
+            # Production paths (solid()/count_edges) stream merged_iter
+            # piece-by-piece instead; these accessors are for tests/tools.
+            logger.warn(
+                "kmer counter: _merged() on a disk-spilled counter "
+                "materializes the full table in host memory — use "
+                "merged_iter()/solid() on large inputs"
+            )
         pieces = list(self.merged_iter())
         if not pieces:
             acc = None
@@ -327,10 +338,12 @@ class ShardedKmerCounter(KmerCounter):
     (assemble_wrapper.py:210) with data parallelism over ICI (SURVEY §2
     parallelism table)."""
 
-    def __init__(self, mesh, k: int, canonical: bool = True, **kw):
+    def __init__(self, mesh, k: int, canonical: bool = True,
+                 partition_slack: float = 2.0, **kw):
         super().__init__(k, canonical=canonical, **kw)
         self.mesh = mesh
         self.ndev = int(np.prod(mesh.devices.shape))
+        self.partition_slack = partition_slack
 
     def add_chunk(self, seqs: np.ndarray, lengths: np.ndarray,
                   weights: Optional[np.ndarray] = None) -> None:
@@ -388,7 +401,8 @@ class ShardedKmerCounter(KmerCounter):
         from ..parallel import mesh as mesh_mod
 
         words, counts, n_per, overflow = mesh_mod.partition_scattered_sharded(
-            self.mesh, run[0], run[1]
+            self.mesh, run[0], run[1], slack=self.partition_slack,
+            canonical=self.canonical,
         )
         if int(overflow):
             # capacity slack exceeded (pathological skew): fall back to
@@ -946,22 +960,31 @@ def assemble(
                 for b in it:
                     yield b.seqs, b.lengths
 
-    # resize k list against the max read length (reference assemble.py:79-84)
-    max_len = 0
-    for b in fastq.read_batches(fastq1, read_chunk, max_read_len):
-        max_len = max(max_len, int(b.lengths[: b.count].max(initial=0)))
-        break
-    klist = [k for k in cfg.kmer_list if k < max(max_len, cfg.kmer_list[0] + 1)]
-    if not klist:
-        klist = cfg.kmer_list[:1]
-    dlist = (cfg.depth_list or [0] * len(cfg.kmer_list))[: len(klist)]
-    logger.info(f"assemble: k-list {klist} (max read len {max_len})")
+    # resize the k list against the LIBRARY-WIDE max read length
+    # (reference assemble.py:79-84 via lib_info): rather than probing the
+    # first batch (whose reads may be atypically short — that would
+    # silently truncate the k-list), the max is folded into the kmin
+    # counting pass, which streams every read anyway; the list is trimmed
+    # after iteration 0 (only k > kmin entries can ever be dropped).
+    seen_max = [0]
+
+    def tracked_source():
+        for seqs, lengths in read_source():
+            m = int(lengths.max(initial=0))
+            if m > seen_max[0]:
+                seen_max[0] = m
+            yield seqs, lengths
+
+    klist = list(cfg.kmer_list)
+    dlist = list(cfg.depth_list or [0] * len(cfg.kmer_list))
 
     contigs: List[Contig] = []
     bubbles: List[Contig] = []
     last_good: List[Contig] = []
-    for i, k in enumerate(klist):
-        source = read_source
+    i = 0
+    while i < len(klist):
+        k = klist[i]
+        source = read_source if i > 0 else tracked_source
         if cfg.prefilter_reads and contigs:
             # later iterations only count reads that map to the surviving
             # (depth-gated) contigs — the concentration trick applied at
@@ -998,6 +1021,18 @@ def assemble(
             if mercy_active:
                 keys, counts = add_mercy_edges(source, keys, counts, k)
             logger.info(f"assemble: k={k}: {len(keys)} solid (k+1)-mers")
+            if i == 0 and seen_max[0]:
+                # the kmin pass streamed every read: trim the k-list
+                # against the true library-wide max read length
+                # (reference assemble.py:79-84)
+                kept = [kk for kk in klist
+                        if kk < max(seen_max[0], klist[0] + 1)]
+                if len(kept) < len(klist):
+                    logger.info(
+                        f"assemble: k-list {klist} -> {kept} "
+                        f"(max read len {seen_max[0]})"
+                    )
+                    klist = kept
             clean = graph_clean.CleanParams(
                 prune_depth=cfg.prune_depth,
                 prune_level=cfg.prune_level,
@@ -1048,6 +1083,7 @@ def assemble(
                 break
             if final_k:
                 last_good = contigs
+        i += 1
 
     final = filter_contigs(last_good, 0, cfg.min_length, cfg.max_length)
     final_k = klist[min(i, len(klist) - 1)] if klist else 0

@@ -1,9 +1,12 @@
 """Isolate the effect of ``prefilter_reads`` on recoverable sequence.
 
-The engine's ``prefilter_reads=True`` default (config.py) diverges from
-megahit, which counts ALL reads at every k and relies on ``local`` to
-re-attach missed sequence (assemble_wrapper.py:298-304 in the reference).
-Round-1 VERDICT flagged that nothing showed this divergence is harmless.
+The engine defaults to ``prefilter_reads=False`` (config.py) — megahit
+semantics: ALL reads are counted at every k, with ``local`` re-attaching
+missed sequence (assemble_wrapper.py:298-304 in the reference). The
+opt-in True mode concentrates later-k counting on reads that map to the
+surviving contigs; round 4 flipped the default off after the 400x fixture
+showed prefiltering dropped the closing base + circular flag — this test
+pins that divergence in both directions.
 
 The risk case: a read whose sequence is NOT represented in the surviving
 kmin contigs (it fell to the depth gate or a cleaning pass) can never be
