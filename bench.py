@@ -475,6 +475,16 @@ def main() -> int:
     golden = _collect_child(_spawn_child("--child-e2e-golden", cpu_env), budget)
     budget = max(int(GOLDEN_TIMEOUT_S - (time.perf_counter() - t_start)), 60)
     soak = _collect_child(_spawn_child("--child-soak", cpu_env), budget)
+    # counting-only soak at ~0.5 Gbp (round-4 VERDICT directive #2/#8):
+    # proves the disk-spill count/gate walls at driver-reproducible scale
+    soak_big = None
+    if os.environ.get("MITOFLEX_BENCH_SKIP_BIG") != "1":
+        big_env = dict(cpu_env, MITOFLEX_SOAK_MBP="33",
+                       MITOFLEX_SOAK_SKIP_GRAPH="1")
+        budget = max(int(GOLDEN_TIMEOUT_S - (time.perf_counter() - t_start)),
+                     60)
+        soak_big = _collect_child(_spawn_child("--child-soak", big_env),
+                                  budget)
 
     bases_per_sec = dev["filter_gbase_s"] * 1e9
     extras = {"kmer_count_mkeys_s": dev.get("kmer_count_mkeys_s"),
@@ -503,9 +513,16 @@ def main() -> int:
     if soak:
         for k in ("soak_gbp", "soak_count_wall_s", "soak_gate_wall_s",
                   "soak_graph_wall_s", "soak_peak_rss_gb", "soak_spilled",
+                  "soak_spill_bytes_gb", "soak_graph_native",
                   "soak_mito_recovered"):
             if k in soak:
                 extras[k] = soak[k]
+    if soak_big:
+        for k in ("soak_gbp", "soak_count_wall_s", "soak_gate_wall_s",
+                  "soak_distinct_m", "soak_solid_edges_m",
+                  "soak_peak_rss_gb", "soak_spilled", "soak_spill_bytes_gb"):
+            if k in soak_big:
+                extras["big_" + k] = soak_big[k]
     print(json.dumps({
         "metric": "filter_device_throughput",
         "value": round(bases_per_sec / 1e9, 4),

@@ -30,7 +30,8 @@ def _load() -> Optional[ctypes.CDLL]:
         if _build_failed:
             return None
         srcs = [os.path.join(_DIR, f)
-                for f in ("fastq_reader.cpp", "dedup.cpp", "merge.cpp")]
+                for f in ("fastq_reader.cpp", "dedup.cpp", "merge.cpp",
+                          "graph.cpp")]
         if not os.path.exists(_SO) or any(
             os.path.getmtime(_SO) < os.path.getmtime(s) for s in srcs
         ):

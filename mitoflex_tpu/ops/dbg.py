@@ -75,6 +75,9 @@ class GraphPass(NamedTuple):
     prefix_id: jax.Array          # [Ecap] int32 — edge endpoint node ids
     suffix_id: jax.Array          # [Ecap] int32
     edge_valid: jax.Array         # [Ecap] bool
+    # optional, host passes only: nodes pre-sorted by (root, offset) — the
+    # chain order unitig_set_from_pass otherwise lexsorts for
+    order: object = None          # Optional[np.ndarray [V] int32]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -184,17 +187,46 @@ def graph_unitig_pass(
 def graph_unitig_pass_host(
     keys: np.ndarray, counts: np.ndarray, k: int
 ) -> GraphPass:
-    """Numpy mirror of :func:`graph_unitig_pass` for the CPU backend
-    (k <= 32 so node k-mers pack into uint64): XLA:CPU's variadic sorts
-    and 2Vcap-padded arrays run the device formulation ~10x slower than
-    plain numpy on the same host. Output arrays satisfy the same
-    GraphPass contract (dense ids over the SORTED unique node table, so
-    ids — and everything derived from them — match the device pass
-    exactly); capacities are exact (Ecap = E, Vcap = V) instead of
-    padded.
+    """Host graph pass for the CPU backend (k <= 32 so node k-mers pack
+    into uint64): XLA:CPU's variadic sorts and 2Vcap-padded arrays run
+    the device formulation ~10x slower than plain numpy on the same
+    host. Output arrays satisfy the same GraphPass contract (dense ids
+    over the SORTED unique node table, so ids — and everything derived
+    from them — match the device pass exactly); capacities are exact
+    (Ecap = E, Vcap = V) instead of padded.
+
+    Dispatches to the native O(E+V) pass (native/graph.cpp: one radix
+    sort + merge joins + a serial chain walk — each node's pointer chased
+    once, vs the numpy mirror's O(V log V) gather rounds; ~20x at the
+    10M-edge scale) and falls back to the numpy mirror below when the
+    native library is unavailable (oracle parity in tests/test_native.py).
 
     keys: [E, W] uint32 valid rows only; counts: [E].
     """
+    E, W = keys.shape
+    assert W <= 2, "host graph pass requires k <= 32"
+    from ..native import graph_native
+
+    nat = graph_native.graph_pass(keys, counts, k)
+    if nat is not None:
+        (node_words, V, out_deg, in_deg, root, offset, link_count,
+         is_cycle, prefix_id, suffix_id, order) = nat
+        return GraphPass(
+            node_words=[node_words[:, w] for w in range(W)],
+            n_nodes=V, out_deg=out_deg, in_deg=in_deg, root=root,
+            offset=offset, link_count=link_count, is_cycle=is_cycle,
+            prefix_id=prefix_id, suffix_id=suffix_id,
+            edge_valid=np.ones(E, bool), order=order,
+        )
+    return graph_unitig_pass_numpy(keys, counts, k)
+
+
+def graph_unitig_pass_numpy(
+    keys: np.ndarray, counts: np.ndarray, k: int
+) -> GraphPass:
+    """Pure-numpy fallback (and oracle for the native pass): pointer
+    doubling over packed uint64 node keys. O(V log V) gather rounds —
+    correct everywhere, ~20x slower than native/graph.cpp at 10M edges."""
     E, W = keys.shape
     assert W <= 2, "host graph pass requires k <= 32"
     # prefix = zero base k; suffix = 2-bit left shift (same layout rules
@@ -337,9 +369,28 @@ _DECODE_LUT = np.frombuffer(b"ACGTN", dtype=np.uint8)
 def unitig_set_from_pass(gp: GraphPass, k: int) -> UnitigSet:
     """Vectorized unitig extraction: group nodes by root, order by offset,
     assemble base codes in bulk (no per-unitig Python). Each unitig
-    appears once per strand; :func:`dedup_strand_mask` picks one."""
+    appears once per strand; :func:`dedup_strand_mask` picks one.
+
+    When the pass carries a precomputed chain order (native host pass)
+    the whole assembly runs as ONE sequential native walk
+    (native/graph.cpp mfx_unitig_build) — the numpy bulk path below pays
+    ~6 full array passes with fancy-index scatters (~38 s at 40M nodes
+    on the throttled host vs seconds native)."""
     n = int(gp.n_nodes)
     node_keys = np.stack([np.asarray(w)[:n] for w in gp.node_words], axis=1)
+    if n > 0 and gp.order is not None and node_keys.shape[1] <= 2 and k <= 31:
+        from ..native import graph_native
+
+        nat = graph_native.unitig_build(
+            np.asarray(gp.order)[:n], np.asarray(gp.offset)[:n],
+            np.asarray(gp.link_count)[:n], np.asarray(gp.is_cycle)[:n],
+            node_keys, k,
+        )
+        if nat is not None:
+            U, seq_codes, seq_bounds, chain_bounds, depth, circular = nat
+            return UnitigSet(U, seq_codes, seq_bounds, depth, circular,
+                             np.asarray(gp.order)[:n], chain_bounds,
+                             node_keys)
     if n == 0:
         z64 = np.zeros(1, np.int64)
         return UnitigSet(0, np.zeros(0, np.uint8), z64, np.zeros(0),
@@ -350,7 +401,10 @@ def unitig_set_from_pass(gp: GraphPass, k: int) -> UnitigSet:
     link = np.asarray(gp.link_count)[:n].astype(np.float64)
     cyc = np.asarray(gp.is_cycle)[:n]
 
-    order = np.lexsort((offset, root)).astype(np.int32)
+    if gp.order is not None:
+        order = np.asarray(gp.order)[:n]  # native pass pre-sorted the chains
+    else:
+        order = np.lexsort((offset, root)).astype(np.int32)
     r_sorted = root[order]
     starts = np.flatnonzero(
         np.concatenate([[True], r_sorted[1:] != r_sorted[:-1]])

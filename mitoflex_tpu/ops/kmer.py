@@ -610,6 +610,107 @@ def count_chunk_numpy(
     return keys, counts
 
 
+def count_chunk_numpy2(
+    seqs, lengths, k: int, canonical: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy chunk counting for 32 < k <= 64: the two-u64 mirror of
+    :func:`count_chunk_numpy`. Windows pack right-aligned into (hi, lo)
+    uint64 pairs via the same rolling update; ordering is one
+    native-dtype ``np.lexsort((lo, hi))``.
+
+    MEASURED DEAD END as a default (kept as the parity-tested host
+    fallback): at the golden production shape (8192x160 reads, k=56,
+    canonical) this runs 1.10 s/chunk vs 0.78 s for the warm XLA
+    count_chunk_runs path on the same host — the 2n-step rolling loops
+    plus lexsort's two argsort passes cost more than XLA's fused
+    variadic sort, unlike the W <= 2 case where np.sort on one u64 wins
+    4x. The XLA path stays the 32 < k production default.
+
+    Output contract matches count_chunk_host: sorted LEFT-ALIGNED keys
+    [U, W] uint32 (W = num_words(k)), uint64 counts."""
+    seqs = np.asarray(seqs)
+    lengths = np.asarray(lengths)
+    B, L = seqs.shape
+    n = L - k + 1
+    W = num_words(k)
+    assert 32 < k <= 64, "count_chunk_numpy2 requires 32 < k <= 64"
+    empty = (np.zeros((0, W), np.uint32), np.zeros(0, np.uint64))
+    if B == 0 or n <= 0:
+        return empty
+    bad = seqs >= 4
+    cc = np.where(bad, 0, seqs).astype(np.uint64)
+    badc = np.cumsum(bad, axis=1, dtype=np.int32)
+    nb = badc[:, k - 1 :].copy()
+    nb[:, 1:] -= badc[:, : n - 1]
+    valid = (nb == 0) & ((np.arange(n)[None, :] + k) <= lengths[:, None])
+    if not valid.any():
+        return empty
+    u2, u62 = np.uint64(2), np.uint64(62)
+    himask = (np.uint64((1 << (2 * k - 64)) - 1) if k < 64
+              else np.uint64(0xFFFFFFFFFFFFFFFF))
+    # forward windows, rolling in at the low end
+    vhi = np.empty((B, n), np.uint64)
+    vlo = np.empty((B, n), np.uint64)
+    ahi = np.zeros(B, np.uint64)
+    alo = np.zeros(B, np.uint64)
+    for i in range(k):
+        ahi = ((ahi << u2) | (alo >> u62)) & himask
+        alo = (alo << u2) | cc[:, i]
+    vhi[:, 0], vlo[:, 0] = ahi, alo
+    for j in range(1, n):
+        ahi = ((ahi << u2) | (alo >> u62)) & himask
+        alo = (alo << u2) | cc[:, j + k - 1]
+        vhi[:, j], vlo[:, j] = ahi, alo
+    # reverse-complement windows, rolling from the high end
+    rhi = np.empty((B, n), np.uint64)
+    rlo = np.empty((B, n), np.uint64)
+    bhi = np.zeros(B, np.uint64)
+    blo = np.zeros(B, np.uint64)
+    top = np.uint64(2 * k - 2 - 64)  # top element's bit within hi (k > 32)
+    u3 = np.uint64(3)
+    # ascending insert-at-top: comp(base 0) sinks to bit 0,
+    # comp(base k-1) ends at the top — the RC read order
+    for i in range(k):
+        blo = (blo >> u2) | (bhi << u62)
+        bhi = (bhi >> u2) | ((u3 - cc[:, i]) << top)
+    rhi[:, 0], rlo[:, 0] = bhi, blo
+    for j in range(1, n):
+        blo = (blo >> u2) | (bhi << u62)
+        bhi = (bhi >> u2) | ((u3 - cc[:, j + k - 1]) << top)
+        rhi[:, j], rlo[:, j] = bhi, blo
+    if canonical:
+        rless = (rhi < vhi) | ((rhi == vhi) & (rlo < vlo))
+        np.copyto(vhi, rhi, where=rless)
+        np.copyto(vlo, rlo, where=rless)
+        his, los = vhi[valid], vlo[valid]
+    else:
+        his = np.concatenate([vhi[valid], rhi[valid]])
+        los = np.concatenate([vlo[valid], rlo[valid]])
+    order = np.lexsort((los, his))
+    his, los = his[order], los[order]
+    new = np.empty(len(his), bool)
+    new[0] = True
+    np.not_equal(his[1:], his[:-1], out=new[1:])
+    new[1:] |= los[1:] != los[:-1]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(his))).astype(np.uint64)
+    uh, ul = his[starts], los[starts]
+    # left-align the 2k bits across the 128-bit pair, then split to words
+    s = np.uint64(128 - 2 * k)
+    if int(s) == 0:
+        hi_al, lo_al = uh, ul
+    else:
+        hi_al = (uh << s) | (ul >> (np.uint64(64) - s))
+        lo_al = ul << s
+    keys = np.zeros((len(uh), W), np.uint32)
+    keys[:, 0] = (hi_al >> np.uint64(32)).astype(np.uint32)
+    keys[:, 1] = (hi_al & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    keys[:, 2] = (lo_al >> np.uint64(32)).astype(np.uint32)
+    if W == 4:
+        keys[:, 3] = (lo_al & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return keys, counts
+
+
 def np_revcomp_keys(keys: np.ndarray, k: int) -> np.ndarray:
     """Reverse-complement packed left-aligned k-mer keys [N, W] (host)."""
     N, W = keys.shape

@@ -202,6 +202,12 @@ class KmerCounter:
                         seqs, lengths, self.k, canonical=self.canonical
                     )
                 else:
+                    # NOT count_chunk_numpy2 for 32 < k <= 64: measured
+                    # SLOWER than the warm XLA runs path at the golden
+                    # production shape (8192x160, k=56: 1.10 s vs 0.78 s
+                    # per chunk) — the two-u64 rolling loops + lexsort
+                    # cost more than the fused variadic device sort.
+                    # numpy2 stays as the parity-tested fallback utility.
                     keys, counts = kmer_ops.count_chunk_host(
                         seqs, lengths, self.k, canonical=self.canonical
                     )
@@ -656,10 +662,30 @@ def add_mercy_edges(
     )
 
 
-def _run_graph_pass(keys: np.ndarray, counts: np.ndarray, k: int) -> dbg_ops.GraphPass:
+def _run_graph_pass(keys: np.ndarray, counts: np.ndarray, k: int,
+                    mesh=None) -> dbg_ops.GraphPass:
     E = len(keys)
     if E == 0:
         raise EmptyGraph(f"no solid edges at k={k}")
+    if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+        import jax
+        import os
+
+        try:
+            on_cpu = jax.default_backend() == "cpu"
+        except Exception:
+            on_cpu = True
+        # the sharded pass pays off on real multi-chip slices (per-chip
+        # memory O(E/N)); on the CPU backend the virtual mesh
+        # oversubscribes the host, so it only runs when forced (parity
+        # tests / dryrun)
+        if not on_cpu or os.environ.get("MITOFLEX_MESH_GRAPH") == "1":
+            from ..parallel import graph_mesh
+
+            gp = graph_mesh.graph_unitig_pass_mesh(mesh, keys, counts, k)
+            if gp is not None:
+                return gp
+            # bucket overflow (pathological skew): single-device fallback
     if keys.shape[1] <= 2:
         import jax
 
@@ -689,6 +715,7 @@ def assemble_k(
     clean: "graph_clean.CleanParams",
     min_standalone: int = 200,
     max_clean_rounds: int = 8,
+    mesh=None,
 ) -> Tuple[List[Contig], List[Contig]]:
     """One k iteration: graph → unitigs → clean fixpoint → contigs.
 
@@ -707,7 +734,7 @@ def assemble_k(
     bubbles: List[Contig] = []
     stale = False  # last pass's unitigs predate a keys/counts filter
     for _ in range(max_clean_rounds):
-        gp = _run_graph_pass(keys, counts, k)
+        gp = _run_graph_pass(keys, counts, k, mesh=mesh)
         n = int(gp.n_nodes)
         if n == 0:
             raise EmptyGraph(f"graph emptied at k={k}")
@@ -738,7 +765,7 @@ def assemble_k(
         # round's kill masks were applied to keys/counts but never
         # re-analyzed — regenerate unitigs from the filtered edge set so
         # killed branches cannot leak into contigs
-        gp = _run_graph_pass(keys, counts, k)
+        gp = _run_graph_pass(keys, counts, k, mesh=mesh)
         if int(gp.n_nodes) == 0:
             raise EmptyGraph(f"graph emptied at k={k}")
         uset = dbg_ops.unitig_set_from_pass(gp, k)
@@ -1046,6 +1073,7 @@ def assemble(
             )
             contigs, bubbles = assemble_k(
                 keys, counts, k, clean, min_standalone=cfg.min_length,
+                mesh=mesh,
             )
             if not cfg.disable_local and any(not c.circular for c in contigs):
                 linear = [c for c in contigs if not c.circular]

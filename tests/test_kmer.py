@@ -590,3 +590,20 @@ def test_count_chunk_numpy_empty():
     z_k, z_c = kmer_ops.count_chunk_numpy(np.zeros((4, 10), np.int8),
                                           np.full(4, 10, np.int32), 21)
     assert len(z_c) == 0
+
+
+def test_count_chunk_numpy2_parity(rng):
+    """Two-u64 host counting (32 < k <= 64) matches the device runs path
+    exactly — keys, counts, canonical min, N handling, short reads."""
+    from mitoflex_tpu.ops import kmer as kmer_ops
+
+    for k in (33, 48, 56, 64):
+        seqs = rng.integers(0, 5, (200, 120)).astype(np.int8)
+        lens = rng.integers(0, 121, 200).astype(np.int32)
+        for canonical in (False, True):
+            k1, c1 = kmer_ops.count_chunk_host(seqs, lens, k,
+                                               canonical=canonical)
+            k2, c2 = kmer_ops.count_chunk_numpy2(seqs, lens, k,
+                                                 canonical=canonical)
+            np.testing.assert_array_equal(k1, k2)
+            np.testing.assert_array_equal(c1.astype(np.uint64), c2)

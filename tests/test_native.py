@@ -100,3 +100,62 @@ def test_native_merge_counts_matches_numpy(rng):
             np.maximum.at(want_c, seg, sc)
         np.testing.assert_array_equal(got[0], sk[new])
         np.testing.assert_array_equal(got[1], want_c)
+
+
+def test_native_graph_pass_oracle(rng):
+    """native/graph.cpp vs the numpy pointer-doubling oracle: identical
+    GraphPass fields, chain order, and UnitigSet output on a messy graph
+    (circular incl. power-of-two cycles, linear, branching, errors)."""
+    import numpy as np
+
+    from mitoflex_tpu.native import graph_native
+    from mitoflex_tpu.ops import dbg as dbg_ops
+    from mitoflex_tpu.ops import kmer as kmer_ops
+
+    if graph_native._lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    k = 21
+    rows = []
+    for L in (256, 300, 77):  # circular (incl. pow2)
+        g = rng.integers(0, 4, L).astype(np.int8)
+        rows.append(np.concatenate([g, g[: k + 1]]))
+    shared = rng.integers(0, 4, 90).astype(np.int8)
+    rows.append(np.concatenate(
+        [rng.integers(0, 4, 120).astype(np.int8), shared,
+         rng.integers(0, 4, 80).astype(np.int8)]))
+    rows.append(np.concatenate(
+        [rng.integers(0, 4, 60).astype(np.int8), shared]))
+    cap = max(len(r) for r in rows)
+    mat = np.full((len(rows), cap), 4, np.int8)
+    lens = np.zeros(len(rows), np.int32)
+    for i, r in enumerate(rows):
+        mat[i, : len(r)] = r
+        lens[i] = len(r)
+    keys, counts = kmer_ops.count_chunk_numpy(mat, lens, k + 1,
+                                              canonical=True)
+    keys, counts = kmer_ops.expand_canonical(keys, counts, k + 1)
+
+    gp_np = dbg_ops.graph_unitig_pass_numpy(keys, counts, k)
+    gp_nat = dbg_ops.graph_unitig_pass_host(keys, counts, k)
+    assert gp_nat.order is not None
+    assert gp_nat.n_nodes == gp_np.n_nodes
+    for f in ("out_deg", "in_deg", "root", "offset", "link_count",
+              "is_cycle", "prefix_id", "suffix_id"):
+        a = np.asarray(getattr(gp_np, f))
+        b = np.asarray(getattr(gp_nat, f))
+        np.testing.assert_array_equal(a, b.astype(a.dtype), err_msg=f)
+    order_ref = np.lexsort(
+        (np.asarray(gp_np.offset), np.asarray(gp_np.root))
+    ).astype(np.int32)
+    np.testing.assert_array_equal(order_ref, gp_nat.order)
+
+    u_np = dbg_ops.unitig_set_from_pass(gp_np, k)       # numpy bulk path
+    u_nat = dbg_ops.unitig_set_from_pass(gp_nat, k)     # native walk
+    assert u_np.n == u_nat.n
+    np.testing.assert_array_equal(u_np.seq_codes, u_nat.seq_codes)
+    np.testing.assert_array_equal(u_np.seq_bounds, u_nat.seq_bounds)
+    np.testing.assert_array_equal(u_np.chain_bounds, u_nat.chain_bounds)
+    np.testing.assert_array_equal(u_np.depth, u_nat.depth)
+    np.testing.assert_array_equal(u_np.circular, u_nat.circular)
