@@ -751,19 +751,22 @@ def expand_canonical(
         return keys, counts
     rc = np_revcomp_keys(keys, k)
     palin = (keys == rc).all(axis=1)
+    fwd_counts = np.where(palin, counts * 2, counts)
+    if keys.shape[1] <= 2:
+        # one native-dtype radix argsort of the doubled packed table.
+    # (A sort-the-RC-half-then-native-merge variant was built and
+    # measured 2x SLOWER at 50M keys: numpy's u64 radix sort runs
+    # ~150M rows/s on this host while the native per-row merge scan
+    # pays ~270 ns/row — any O(n) pointer walk loses to sort here.)
+        p = np.concatenate([np_pack64(keys), np_pack64(rc[~palin])])
+        out_counts = np.concatenate([fwd_counts, counts[~palin]])
+        order = np.argsort(p, kind="stable")
+        return np_unpack64(p[order], keys.shape[1]), out_counts[order]
     out_keys = np.concatenate([keys, rc[~palin]])
-    out_counts = np.concatenate(
-        [np.where(palin, counts * 2, counts), counts[~palin]]
+    out_counts = np.concatenate([fwd_counts, counts[~palin]])
+    order = np.lexsort(
+        tuple(out_keys[:, w] for w in range(out_keys.shape[1] - 1, -1, -1))
     )
-    # native-dtype sort — the void-record argsort pays a function-pointer
-    # memcmp per compare (~100x; it dominated the gate+expand wall at the
-    # 1.5 Gbp soak scale)
-    if out_keys.shape[1] <= 2:
-        order = np.argsort(np_pack64(out_keys), kind="stable")
-    else:
-        order = np.lexsort(
-            tuple(out_keys[:, w] for w in range(out_keys.shape[1] - 1, -1, -1))
-        )
     return out_keys[order], out_counts[order]
 
 
@@ -784,11 +787,39 @@ def np_keys_view(keys: np.ndarray) -> np.ndarray:
 def np_pack64(keys: np.ndarray) -> np.ndarray:
     """Leading 64 bits of each [N, W] key row as native uint64 (word 0 high;
     word 1 low, or zero when W == 1). Order-equivalent to the full key for
-    W <= 2."""
+    W <= 2.
+
+    Little-endian hosts take a column-swap + u64 view (one pass) — the
+    shift/or formulation pays ~25x in u64 ufunc temporaries on this
+    host (measured 7.5 s vs 0.3 s at 50M rows)."""
+    import sys
+
+    if keys.shape[1] > 1 and sys.byteorder == "little":
+        sw = np.empty((len(keys), 2), np.uint32)
+        sw[:, 0] = keys[:, 1]
+        sw[:, 1] = keys[:, 0]
+        return sw.view(np.uint64).reshape(-1)
     hi = keys[:, 0].astype(np.uint64) << np.uint64(32)
     if keys.shape[1] > 1:
         return hi | keys[:, 1].astype(np.uint64)
     return hi
+
+
+def np_unpack64(p: np.ndarray, W: int) -> np.ndarray:
+    """Inverse of np_pack64: uint64 -> [N, W] uint32 rows (W <= 2)."""
+    import sys
+
+    if W == 2 and sys.byteorder == "little":
+        v = p.view(np.uint32).reshape(-1, 2)
+        out = np.empty((len(p), 2), np.uint32)
+        out[:, 0] = v[:, 1]
+        out[:, 1] = v[:, 0]
+        return out
+    out = np.empty((len(p), W), np.uint32)
+    out[:, 0] = (p >> np.uint64(32)).astype(np.uint32)
+    if W == 2:
+        out[:, 1] = (p & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return out
 
 
 def np_searchsorted_keys(
@@ -856,6 +887,11 @@ def merge_sorted_counts(
         return b_keys, b_counts
     if len(b_keys) == 0:
         return a_keys, a_counts
+    # (A numpy u64-radix-argsort merge path was built and A/B'd here:
+    # warm and interleaved it measures ~4 s vs the native scan's 0.65 s
+    # at 2x20M rows — the native merge stays. Beware this sandbox's
+    # cold-start throttling: unpaired single-shot timings invert the
+    # comparison.)
     if op in ("sum", "max") and len(a_keys) + len(b_keys) >= 4096:
         from ..native import merge_native
 

@@ -130,3 +130,46 @@ def test_assemble_uses_mesh_graph_pass(tmp_path, mesh8, rng, monkeypatch):
                  max_read_len=96)
     assert filecmp.cmp(out_m, out_s, shallow=False), \
         "mesh graph pass diverged from single-device assemble"
+
+
+def test_mesh_graph_per_shard_memory_scales(rng):
+    """Per-shard array capacity is O(E / n_devices): doubling the mesh
+    halves every per-shard allocation (the memory property that lets the
+    0.6G-edge kmin graph fit a slice when one chip's HBM cannot)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    k = 21
+    g = rng.integers(0, 4, 32000).astype(np.int8)
+    keys, counts = _edges_from_rows([g], k)
+    E = len(keys)
+
+    def shard_caps(ndev):
+        mesh = mesh_mod.make_mesh((ndev,), ("data",))
+        per = -(-E // ndev)
+        Ecap_l = 1 << 10
+        while Ecap_l < per:
+            Ecap_l <<= 1
+        big = ndev * Ecap_l
+        kw = [np.full(big, 0xFFFFFFFF, np.uint32) for _ in range(2)]
+        kc = np.zeros(big, np.uint32)
+        ne = np.zeros(ndev, np.int32)
+        for j in range(ndev):
+            rows = keys[j::ndev]
+            ne[j] = len(rows)
+            for w in range(2):
+                kw[w][j * Ecap_l : j * Ecap_l + len(rows)] = rows[:, w]
+            kc[j * Ecap_l : j * Ecap_l + len(rows)] = counts[j::ndev]
+        spec = NamedSharding(mesh, P("data"))
+        outs = graph_mesh.graph_pass_sharded(
+            mesh, [jax.device_put(w, spec) for w in kw],
+            jax.device_put(kc, spec), jax.device_put(ne, spec), k,
+        )
+        assert int(outs[-1]) == 0
+        # out_deg is the per-node table: global rows / ndev = per-shard cap
+        return Ecap_l, outs[3].shape[0] // ndev
+
+    e4, v4 = shard_caps(4)
+    e8, v8 = shard_caps(8)
+    assert e8 == e4 // 2
+    assert v8 == v4 // 2
