@@ -516,14 +516,19 @@ def count_edges(
     for seqs, lengths in read_source():
         counter.add_chunk(seqs, lengths)
     sk, sc = [], []
-    for keys, counts in counter.merged_iter():
-        rc = kmer_ops.np_revcomp_keys(keys, kp1)
-        palin = (keys == rc).all(axis=1)
-        eff = np.where(palin, counts * 2, counts)
-        mask = eff >= min_multi
-        if mask.any():
-            sk.append(keys[mask])
-            sc.append(counts[mask])
+    # the disk-bucket LSM gate pipelines: a producer thread reads and
+    # fold-merges bucket b+1 while this thread gates bucket b (revcomp +
+    # palindrome + mask are numpy / native calls that release the GIL) —
+    # bounded to one bucket of lookahead so peak memory stays O(bucket)
+    with prefetch(counter.merged_iter(), 1) as gate_src:
+        for keys, counts in gate_src:
+            rc = kmer_ops.np_revcomp_keys(keys, kp1)
+            palin = (keys == rc).all(axis=1)
+            eff = np.where(palin, counts * 2, counts)
+            mask = eff >= min_multi
+            if mask.any():
+                sk.append(keys[mask])
+                sc.append(counts[mask])
     if sk:
         rkeys, rcounts = kmer_ops.expand_canonical(
             np.concatenate(sk), np.concatenate(sc), kp1

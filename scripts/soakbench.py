@@ -127,18 +127,22 @@ def main() -> int:
     print(f"# soak: count {t_count:.1f}s (+{t_gen:.1f}s synth) "
           f"rss {_rss_gb():.2f} GB", file=sys.stderr, flush=True)
 
+    from mitoflex_tpu.io.prefetch import prefetch
+
     t0 = time.perf_counter()
     sk, sc = [], []
     n_distinct = 0
-    for keys, counts in counter.merged_iter():
-        n_distinct += len(counts)
-        rc = kmer_ops.np_revcomp_keys(keys, k + 1)
-        palin = (keys == rc).all(axis=1)
-        eff = np.where(palin, counts * 2, counts)
-        mask = eff >= min_multi
-        if mask.any():
-            sk.append(keys[mask])
-            sc.append(counts[mask])
+    # same bucket pipelining as the production gate (count_edges)
+    with prefetch(counter.merged_iter(), 1) as gate_src:
+        for keys, counts in gate_src:
+            n_distinct += len(counts)
+            rc = kmer_ops.np_revcomp_keys(keys, k + 1)
+            palin = (keys == rc).all(axis=1)
+            eff = np.where(palin, counts * 2, counts)
+            mask = eff >= min_multi
+            if mask.any():
+                sk.append(keys[mask])
+                sc.append(counts[mask])
     if sk:
         keys, counts = kmer_ops.expand_canonical(
             np.concatenate(sk), np.concatenate(sc), k + 1
