@@ -118,7 +118,7 @@ def _unsort(orig_idx: jax.Array, values: jax.Array) -> jax.Array:
     return s[1]
 
 
-def _key_routed_join(node_words, n_l, base_me, bases_excl, inner_i32,
+def _key_routed_join(node_words, n_l, base_me, inner_i32,
                      q_words: List[jax.Array], q_valid, payloads,
                      ndev: int, slack: float):
     """Route query keys to their range owners, join against the owner's
@@ -257,7 +257,7 @@ def graph_pass_sharded(
 
         # ---- phase 3: prefix ids + out-degrees --------------------------
         pref_gid, _, (p_idx, p_hit, _), ov = _key_routed_join(
-            node_words, n_l, base_me, bases, inner_i32,
+            node_words, n_l, base_me, inner_i32,
             pref, evalid, [], ndev, slack,
         )
         overflow += ov
@@ -269,7 +269,7 @@ def graph_pass_sharded(
         # ---- phase 4: suffix ids, in-degrees, unique predecessor --------
         cnt32 = jnp.minimum(ec, jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32)
         suf_gid, _, (s_jidx, s_hit, s_pay), ov = _key_routed_join(
-            node_words, n_l, base_me, bases, inner_i32,
+            node_words, n_l, base_me, inner_i32,
             suf, evalid,
             [pref_gid, _u32_bitcast_i32(cnt32)],
             ndev, slack,
