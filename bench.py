@@ -449,6 +449,11 @@ def main() -> int:
         from scripts import soakbench
 
         return soakbench.main()
+    if "--child-graph" in sys.argv:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts import graphbench
+
+        return graphbench.main()
 
     t_start = time.perf_counter()
     dev = _run_child({})
@@ -478,6 +483,7 @@ def main() -> int:
     # counting-only soak at ~0.5 Gbp (round-4 VERDICT directive #2/#8):
     # proves the disk-spill count/gate walls at driver-reproducible scale
     soak_big = None
+    graph = None
     if os.environ.get("MITOFLEX_BENCH_SKIP_BIG") != "1":
         big_env = dict(cpu_env, MITOFLEX_SOAK_MBP="33",
                        MITOFLEX_SOAK_SKIP_GRAPH="1")
@@ -485,6 +491,14 @@ def main() -> int:
                      60)
         soak_big = _collect_child(_spawn_child("--child-soak", big_env),
                                   budget)
+        # at-scale graph row (~50M edges): the native pass + clean
+        # fixpoint walls are driver-captured, not PERF.md prose
+        graph_env = dict(cpu_env, MITOFLEX_GRAPH_MBP=os.environ.get(
+            "MITOFLEX_BENCH_GRAPH_MBP", "25"))
+        budget = max(int(GOLDEN_TIMEOUT_S - (time.perf_counter() - t_start)),
+                     60)
+        graph = _collect_child(_spawn_child("--child-graph", graph_env),
+                               budget)
 
     bases_per_sec = dev["filter_gbase_s"] * 1e9
     extras = {"kmer_count_mkeys_s": dev.get("kmer_count_mkeys_s"),
@@ -523,6 +537,12 @@ def main() -> int:
                   "soak_peak_rss_gb", "soak_spilled", "soak_spill_bytes_gb"):
             if k in soak_big:
                 extras["big_" + k] = soak_big[k]
+    if graph:
+        for k in ("graph_edges_m", "graph_pass_wall_s",
+                  "graph_unitig_wall_s", "graph_fixpoint_wall_s",
+                  "graph_peak_rss_gb", "graph_native"):
+            if k in graph:
+                extras[k] = graph[k]
     print(json.dumps({
         "metric": "filter_device_throughput",
         "value": round(bases_per_sec / 1e9, 4),
