@@ -74,6 +74,10 @@ class AssembleConfig:
     prune_depth: int = 2             # drop unitigs with avg kmer depth < this
     insert_size: int = 150           # used in scaffolding
     disable_local: bool = False      # skip local (gap) assembly pass
+    local_read_stride: int = 1       # map every Nth read in local (gap)
+                                     # assembly; >1 trades end-vote depth
+                                     # for wall time on deep libraries
+                                     # (votes scale as coverage/stride)
     disable_scaffolding: bool = False
     min_multi: int = 3               # min k-mer multiplicity (configurations.py:61)
     no_mercy: bool = True            # disallow mercy edges (configurations.py:67)
@@ -155,6 +159,10 @@ class VisualizeConfig:
 
     disable_visualization: bool = False
     gc_window: int = 50              # GC-content histogram window, bp
+    max_depth_reads: int = 0         # cap reads remapped for the depth
+                                     # track (0 = all, the reference's
+                                     # full bwa remap); large runs can
+                                     # sample — depth is a relative ring
     color_cds: str = "#8DD3C7"       # 141,211,199 (configurations.py:178)
     color_trna: str = "#FB8072"      # 251,128,114
     color_rrna: str = "#FDC086"      # 253,192,134

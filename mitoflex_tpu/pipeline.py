@@ -228,7 +228,8 @@ def run_visualize(
     records = fasta.load_fasta(picked_path)
     prefix = os.path.join(wd.stage_dir("visualize"), ctx.cfg.run.workname)
     outs = visualize(ctx.cfg.visualize, records, locs, prefix,
-                     fastq1=clean1, fastq2=clean2, circular=circular)
+                     fastq1=clean1, fastq2=clean2, circular=circular,
+                     max_depth_reads=ctx.cfg.visualize.max_depth_reads or None)
     for o in outs:
         if o.endswith((".png", ".svg")):
             shutil.copy(o, wd.result_file(os.path.basename(o)))

@@ -828,7 +828,32 @@ def _extend_ends(
 
     if not contigs:
         return contigs, False
-    recs = [FastaRecord(f"le{j}", c.seq) for j, c in enumerate(contigs)]
+    # index only the contig END WINDOWS: a read that maps strictly
+    # interior can never overhang an end, so it never votes — yet the
+    # mapper's sort-join re-sorts the whole index every batch, making a
+    # full-contig index O(reads x total contig bp). With a large
+    # assembled background that degenerates completely (measured: 622 s
+    # of a 686 s small-scale pipeline run was local_extend). A window of
+    # WD >= max read length preserves every overhanging read's in-contig
+    # seed span, so end votes are unchanged; short contigs stay whole.
+    WD = 512
+    recs = []
+    rec_ci: List[int] = []
+    rec_off: List[int] = []
+    for j, c in enumerate(contigs):
+        if len(c.seq) <= 2 * WD:
+            recs.append(FastaRecord(f"le{j}", c.seq))
+            rec_ci.append(j)
+            rec_off.append(0)
+        else:
+            recs.append(FastaRecord(f"le{j}l", c.seq[:WD]))
+            rec_ci.append(j)
+            rec_off.append(0)
+            recs.append(FastaRecord(f"le{j}r", c.seq[-WD:]))
+            rec_ci.append(j)
+            rec_off.append(len(c.seq) - WD)
+    rec_ci_a = np.asarray(rec_ci, np.int64)
+    rec_off_a = np.asarray(rec_off, np.int64)
     index = mapper_ops.ContigIndex.build(recs)
     votes_r = [np.zeros((max_ext, 4), np.int32) for _ in contigs]
     votes_l = [np.zeros((max_ext, 4), np.int32) for _ in contigs]
@@ -836,15 +861,16 @@ def _extend_ends(
     for seqs, lengths in read_source():
         m = mapper_ops.map_batch(index, seqs, lengths, min_votes=2, mesh=mesh)
         mapped = m.contig >= 0
+        ridx = np.maximum(m.contig, 0)
+        ci_all = rec_ci_a[ridx]
+        start_all = m.raw_pos + rec_off_a[ridx]   # window -> contig coords
         # only reads overhanging an end vote — select them vectorized
         # before the per-read voting loop (the bulk of mapped reads sit
-        # strictly inside the contig and contribute nothing)
-        ro_all = np.where(
-            mapped, m.raw_pos + lengths - clens[np.maximum(m.contig, 0)], 0
-        )
-        sel = np.nonzero(mapped & ((ro_all > 0) | (m.raw_pos < 0)))[0]
+        # strictly inside the window and contribute nothing)
+        ro_all = np.where(mapped, start_all + lengths - clens[ci_all], 0)
+        sel = np.nonzero(mapped & ((ro_all > 0) | (start_all < 0)))[0]
         for b in sel:
-            ci = int(m.contig[b])
+            ci = int(ci_all[b])
             clen = len(contigs[ci].seq)
             Lr = int(lengths[b])
             if Lr == 0:
@@ -852,7 +878,7 @@ def _extend_ends(
             row = seqs[b, :Lr] if m.strand[b] == 1 else np.asarray(
                 encoding.revcomp(seqs[b, :Lr])
             )
-            start = int(m.raw_pos[b])
+            start = int(start_all[b])
             # Mapper bound: a mapped read's diagonal satisfies
             # -(Lr-K) < start < clen, so either overhang is < Lr.
             right_over = start + Lr - clen
@@ -890,6 +916,7 @@ def local_extend(
     consensus_frac: float = 0.75,
     max_ext_per_round: int = 60,
     mesh=None,
+    read_stride: int = 1,
 ) -> List[Contig]:
     """Local assembly of contig ends (megahit `local` analog,
     assemble_wrapper.py:298-304): reads mapping near a dead end vote on
@@ -899,9 +926,15 @@ def local_extend(
     directly, 5' overhangs via the unclamped mapping start. Recovers
     sequence dropped at chunk/depth boundaries and helps neighboring
     contigs reach overlap length."""
+    source = read_source
+    if read_stride > 1:
+        def source():
+            for seqs, lengths in read_source():
+                yield seqs[::read_stride], lengths[::read_stride]
+
     for _ in range(max_rounds):
         contigs, changed = _extend_ends(
-            contigs, read_source, min_support, consensus_frac,
+            contigs, source, min_support, consensus_frac,
             max_ext_per_round, mesh=mesh,
         )
         if not changed:
@@ -1083,7 +1116,8 @@ def assemble(
             if not cfg.disable_local and any(not c.circular for c in contigs):
                 linear = [c for c in contigs if not c.circular]
                 circular = [c for c in contigs if c.circular]
-                linear = local_extend(linear, source, mesh=mesh)
+                linear = local_extend(linear, source, mesh=mesh,
+                                      read_stride=cfg.local_read_stride)
                 contigs = circular + linear
         except EmptyGraph as e:
             logger.warn(f"assemble: {e}; stopping multi-k loop at k={k}")
