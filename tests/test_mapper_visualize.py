@@ -202,3 +202,22 @@ def test_host_mapper_matches_device(rng):
         np.testing.assert_array_equal(h, np.asarray(d), err_msg=name)
     # sanity: a decent share actually mapped
     assert (host[0] >= 0).sum() > B // 2
+
+
+def test_visualize_max_depth_reads_cap(tmp_path, rng):
+    """visualize.max_depth_reads samples the depth-track remap (the
+    depth ring is relative; bigrun caps at 400k reads instead of
+    remapping 6.8M): capped run still renders a positive depth track."""
+    g = synth.random_genome(rng, 2000)
+    rec = FastaRecord("s1", g, {"flag": 1, "multi": 50, "len": 2000})
+    locs = {"COX1": (100, 500, 0, "s1", "+")}
+    reads = [(g[i : i + 100], "I" * 100) for i in range(0, 1900, 10)]
+    fq = synth.write_fastq(tmp_path / "r.fq", reads)
+    vis.visualize(VisualizeConfig(), [rec], locs, str(tmp_path / "cap"),
+                  fastq1=fq, max_depth_reads=40)
+    import json
+
+    tracks = json.load(open(tmp_path / "cap.tracks.json"))
+    assert tracks["depth_mean"]["mt1"] > 0
+    # cap only SAMPLES the remap — gene/feature tracks are unaffected
+    assert len(tracks["genes"]) == 1
