@@ -543,6 +543,22 @@ def main() -> int:
                   "graph_peak_rss_gb", "graph_native"):
             if k in graph:
                 extras[k] = graph[k]
+    # ~0.5 Gbp FULL-pipeline run (scripts/bigrun.py): too long for this
+    # harness's budget, so it is measured offline and its recorded JSON
+    # attached verbatim, honestly labeled. Re-run any time with
+    # `JAX_PLATFORMS=cpu python scripts/bigrun.py > BIGRUN_r05.json`.
+    bigrun_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BIGRUN_r05.json")
+    if os.path.exists(bigrun_path):
+        try:
+            with open(bigrun_path) as f:
+                big = json.load(f)
+            for k, v in big.items():
+                if k.startswith("bigrun_"):
+                    extras[k] = v
+            extras["bigrun_recorded_offline"] = True
+        except (json.JSONDecodeError, OSError):
+            pass
     print(json.dumps({
         "metric": "filter_device_throughput",
         "value": round(bases_per_sec / 1e9, 4),

@@ -816,7 +816,9 @@ def _extend_ends(
     consensus_frac: float,
     max_ext: int,
     mesh=None,
-) -> Tuple[List[Contig], bool]:
+    collect_candidates: bool = False,
+) -> Tuple[List[Contig], bool,
+           Optional[List[Tuple[np.ndarray, np.ndarray]]]]:
     """One extension pass over BOTH contig ends from a SINGLE read-mapping
     sweep: reads whose alignment overhangs a contig's 3' end vote on the
     bases beyond it; reads overhanging the 5' end (negative unclamped
@@ -858,6 +860,9 @@ def _extend_ends(
     votes_r = [np.zeros((max_ext, 4), np.int32) for _ in contigs]
     votes_l = [np.zeros((max_ext, 4), np.int32) for _ in contigs]
     clens = np.asarray([len(c.seq) for c in contigs], np.int64)
+    candidates: Optional[List[Tuple[np.ndarray, np.ndarray]]] = (
+        [] if collect_candidates else None
+    )
     for seqs, lengths in read_source():
         m = mapper_ops.map_batch(index, seqs, lengths, min_votes=2, mesh=mesh)
         mapped = m.contig >= 0
@@ -869,6 +874,15 @@ def _extend_ends(
         # strictly inside the window and contribute nothing)
         ro_all = np.where(mapped, start_all + lengths - clens[ci_all], 0)
         sel = np.nonzero(mapped & ((ro_all > 0) | (start_all < 0)))[0]
+        if candidates is not None:
+            # a read that maps strictly INTERIOR can never vote in a
+            # later round either: ends only grow outward, so an interior
+            # placement stays interior. Later rounds re-map only the
+            # end-voters + the still-unmapped reads (which may gain
+            # seeds as the end grows toward them).
+            keep = ~mapped | (ro_all > 0) | (start_all < 0)
+            if keep.any():
+                candidates.append((seqs[keep], lengths[keep]))
         for b in sel:
             ci = int(ci_all[b])
             clen = len(contigs[ci].seq)
@@ -905,7 +919,7 @@ def _extend_ends(
             changed = True
         else:
             out.append(c)
-    return out, changed
+    return out, changed, candidates
 
 
 def local_extend(
@@ -932,11 +946,32 @@ def local_extend(
             for seqs, lengths in read_source():
                 yield seqs[::read_stride], lengths[::read_stride]
 
-    for _ in range(max_rounds):
-        contigs, changed = _extend_ends(
-            contigs, source, min_support, consensus_frac,
-            max_ext_per_round, mesh=mesh,
+    # Rounds after the first re-map only the CANDIDATE reads round 1
+    # identified (end-voters + still-unmapped) — interior placements can
+    # never become end votes, and this also skips re-reading the FASTQ.
+    # At 400x on the golden-volume fixture ~95% of reads are interior,
+    # so rounds 2..max_rounds cost ~5% of round 1. Falls back to full
+    # re-streams if the candidate set would exceed the memory budget
+    # (e.g. a huge unmapped nuclear background).
+    CAND_BUDGET_BYTES = 256 << 20
+    cached: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
+    for rnd in range(max_rounds):
+        if rnd == 0 or cached is None:
+            src, collect = source, (rnd == 0)
+        else:
+            batches = cached
+
+            def src():
+                return iter(batches)
+
+            collect = False
+        contigs, changed, cand = _extend_ends(
+            contigs, src, min_support, consensus_frac,
+            max_ext_per_round, mesh=mesh, collect_candidates=collect,
         )
+        if cand is not None:
+            if sum(s.nbytes for s, _ in cand) <= CAND_BUDGET_BYTES:
+                cached = cand
         if not changed:
             break
     return contigs
