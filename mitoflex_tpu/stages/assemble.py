@@ -829,7 +829,7 @@ def _extend_ends(
     from ..ops import mapper as mapper_ops
 
     if not contigs:
-        return contigs, False
+        return contigs, False, ([] if collect_candidates else None)
     # index only the contig END WINDOWS: a read that maps strictly
     # interior can never overhang an end, so it never votes — yet the
     # mapper's sort-join re-sorts the whole index every batch, making a
